@@ -1,13 +1,99 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.{Bm25, Bm25SqlPath, QuerySet}
+import graft.sources.Corpus
+import graft.tokenize.Tokenizer
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry has a DuckDB `oracleSql` twin over the same
+  * parquet tables; column names AND types are aligned between the two
+  * (the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_bm25_flagship")(spark, "/root/testdata/sf0.001")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Corpus.docs(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 derived source table + per-row sha256 invariant (input_hint).
+    "q_source_table" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"), col("content_sha"), col("doc_len"))
+        .orderBy("doc_id")),
+
+    // Corpus stats: N, avgdl, vocabulary size (X1/X2 analogs).
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = d
+        .select(explode(Tokenizer.tokensCol(col("content"))).as("term"))
+        .agg(countDistinct(col("term")).as("vocab"))
+      d.agg(count(lit(1)).as("n"), round(avg(col("doc_len")), Bm25.Scale).as("avgdl"))
+        .crossJoin(vocab)
+    }),
+
+    // Dictionary: per-term df/cf (B6 dictionary stats; salted two-phase
+    // variant lives in the index build path).
+    "q_dictionary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), explode(Tokenizer.tokensCol(col("content"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .orderBy(col("df").desc, col("term"))
+    }),
+
+    // Flagship: single-query BM25 top-10 (Q1 graft, declarative path).
+    "q_bm25_flagship" -> ((s, dir) =>
+      Bm25SqlPath.topK(s, docs(s, dir), QuerySet.queries.take(1), 10)),
+
+    // Batch: all 20 reference queries in ONE job (Q8 graft — where Spark
+    // beats the reference's sequential loop, /root/reference/src/index.jl:261-273).
+    "q_bm25_batch" -> ((s, dir) =>
+      Bm25SqlPath.topK(s, docs(s, dir), QuerySet.queries, 10)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_source_table" ->
+      s"""WITH ${Corpus.sqlDocsCtes}
+         |SELECT doc_id, repo, path, "commit", lang, content_sha,
+         |       CAST(doc_len AS INTEGER) AS doc_len
+         |FROM docs ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""WITH ${Corpus.sqlDocsCtes},
+         |tok AS (SELECT doc_id, unnest(${Tokenizer.sqlTokensExpr("content")}) AS term FROM docs)
+         |SELECT (SELECT count(*) FROM docs) AS n,
+         |       (SELECT round(avg(doc_len), ${Bm25.Scale}) FROM docs) AS avgdl,
+         |       count(DISTINCT term) AS vocab
+         |FROM tok""".stripMargin,
+
+    "q_dictionary" ->
+      s"""WITH ${Corpus.sqlDocsCtes},
+         |tok AS (SELECT doc_id, unnest(${Tokenizer.sqlTokensExpr("content")}) AS term FROM docs),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+         |GROUP BY term ORDER BY df DESC, term""".stripMargin,
+
+    "q_bm25_flagship" -> duckRankCast(
+      Bm25SqlPath.oracleSql(QuerySet.queries.take(1), 10)),
+
+    "q_bm25_batch" -> duckRankCast(
+      Bm25SqlPath.oracleSql(QuerySet.queries, 10)))
+
+  /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
+  private def duckRankCast(sql: String): String =
+    s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM ($sql)""".stripMargin
 }

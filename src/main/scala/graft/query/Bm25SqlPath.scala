@@ -1,0 +1,120 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.Tokenizer
+
+/** The declarative (pure DataFrame joins + aggregation) BM25 top-k path —
+  * SURVEY.md §7.1 step 6's "pure-DataFrame scoring path used for
+  * DuckDB-oracle parity". No index required: scores straight off the
+  * corpus. The index-backed WAND scorer must produce rank-identical
+  * output (cross-checked in tests, mirroring the reference's
+  * naive-vs-hnsw dual paths, /root/reference/test/search.jl:3,29).
+  *
+  * Scale notes (100 TB):
+  *  - query terms are broadcast; the only wide shuffles are
+  *    groupBy(doc_id, term) over term-filtered postings and the final
+  *    groupBy(query_id, doc_id) — both keyed on high-cardinality doc_id,
+  *    so no stop-word skew lands on a single reducer;
+  *  - doc length rides along with the explode (`first(dl)`), avoiding a
+  *    join of the full per-doc length table against filtered postings;
+  *  - global top-k per query is a Window over query_id (tiny).
+  */
+object Bm25SqlPath {
+
+  /** Top-k BM25 over `docs` (needs doc_id, content, doc_len) for a batch
+    * of queries. Output: (query_id, rank, doc_id, score) ordered.
+    */
+  def topK(
+      spark: SparkSession,
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+
+    val qdf = QuerySet.triples(queries).toDF("query_id", "term", "qtf")
+    val qterms = qdf.select("term").distinct()
+
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      avg(col("doc_len")).as("avgdl"))
+
+    // (doc_id, dl, term) for query terms only — broadcast semi-filter
+    // keeps the explode narrow and the parquet scan pruned to `content`.
+    val toks = docs.select(
+      col("doc_id"),
+      col("doc_len").as("dl"),
+      explode(Tokenizer.tokensCol(col("content"))).as("term"))
+    val hits = toks.join(broadcast(qterms), "term")
+
+    val tf = hits
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+    // df per query term == full-corpus df for those terms.
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val contrib = tf
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        col("qtf") * Bm25.contribCol(
+          Bm25.idfCol(col("n"), col("df")),
+          col("tf"), col("dl"), col("avgdl")))
+
+    val scores = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+      .withColumn("score", round(col("s"), Bm25.Scale))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle SQL for [[topK]] over the same derived corpus. */
+  def oracleSql(queries: Seq[(Int, Seq[String])], k: Int): String = {
+    val tokens = Tokenizer.sqlTokensExpr("content")
+    val contribExpr =
+      Bm25.sqlContribExpr("s.n", "f.df", "t.tf", "t.dl", "s.avgdl")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |${QuerySet.sqlValuesCte(queries)},
+       |tok AS (
+       |  SELECT doc_id, unnest($tokens) AS term FROM docs),
+       |dl AS (SELECT doc_id, doc_len AS dl FROM docs),
+       |stats AS (
+       |  SELECT count(*) AS n, avg(doc_len) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tok
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |tfq AS (
+       |  SELECT t.term, t.doc_id, t.tf, d.dl
+       |  FROM tf t JOIN dl d USING (doc_id)),
+       |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+       |scores AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         round(sum(q.qtf * ($contribExpr)), ${Bm25.Scale}) AS score
+       |  FROM tfq t
+       |  JOIN dfq f USING (term)
+       |  JOIN q ON q.term = t.term
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id,
+       |         row_number() OVER (
+       |           PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id ASC) AS rank,
+       |         doc_id, score
+       |  FROM scores)
+       |SELECT query_id, rank, doc_id, score FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus access: derives the `input_hint`-shaped source-code table
+  * (repo, path, commit, lang, content) deterministically from the
+  * driver-provided `documents.parquet` (FIXTURES.md F1), and assigns
+  * dense 0-based docIDs.
+  *
+  * The derivation is a pure seeded mapping so the DuckDB oracle can
+  * reproduce the identical table — see [[sqlSourceCte]].
+  */
+object Corpus {
+
+  /** Raw driver table. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** F1: the source-code table (repo, path, commit, lang, content). */
+  def sourceTable(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      concat(lit("repo-"), (col("doc_id") % 13).cast("string")).as("repo"),
+      concat(lit("src/"), col("source"), lit("/"),
+        col("doc_id").cast("string"), lit("."), col("lang")).as("path"),
+      substring(sha2(concat(lit("c"), col("doc_id").cast("string")), 256), 1, 12)
+        .as("commit"),
+      col("lang"),
+      col("text").as("content"))
+
+  /** DuckDB CTE body producing the identical F1 table from `documents`.
+    * NB: `commit` is a DuckDB keyword — always quoted.
+    */
+  val sqlSourceCte: String =
+    """SELECT concat('repo-', CAST(doc_id % 13 AS VARCHAR)) AS repo,
+      |       concat('src/', source, '/', CAST(doc_id AS VARCHAR), '.', lang) AS path,
+      |       substr(sha256(concat('c', CAST(doc_id AS VARCHAR))), 1, 12) AS "commit",
+      |       lang, text AS content
+      |FROM documents""".stripMargin
+
+  /** Dense 0-based id assignment in global (sortCols) order — the graft
+    * analog of the reference's dense insertion-order point ids
+    * (/root/reference/src/index.jl:189, 0-based).
+    *
+    * Scalable form: a global `row_number() OVER (ORDER BY ...)` would
+    * funnel all rows through ONE partition. Instead:
+    * range-repartition on the sort key (global order across partitions),
+    * count rows per partition (one light job), then
+    * id = per-partition row_number + broadcast partition offset.
+    * Equivalent to the global row_number because the sort key is unique.
+    */
+  def withDenseId(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = sortCols.map(col)
+    val sorted = df
+      .repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .groupBy("_pid").count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(cols: _*)
+    sorted
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(offDf), "_pid")
+      .withColumn(idCol, col("_rn") + col("_off") - 1)
+      .drop("_pid", "_rn", "_off")
+  }
+
+  /** F1 table with dense doc_id (0-based, (repo, path, commit) order),
+    * content sha256, and token-count doc length.
+    */
+  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tokenize.Tokenizer
+    val src = sourceTable(spark, sfDir)
+    withDenseId(src, Seq("repo", "path", "commit"), "doc_id")
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .withColumn("doc_len", size(Tokenizer.tokensCol(col("content"))))
+      .select("doc_id", "repo", "path", "commit", "lang", "content",
+        "content_sha", "doc_len")
+  }
+
+  /** DuckDB CTEs for the same docs table (global row_number is fine in a
+    * single-node oracle).
+    */
+  val sqlDocsCtes: String =
+    s"""src AS ($sqlSourceCte),
+       |docs AS (
+       |  SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id,
+       |         repo, path, "commit", lang, content,
+       |         sha256(content) AS content_sha,
+       |         len(${graft.tokenize.Tokenizer.sqlTokensExpr("content")}) AS doc_len
+       |  FROM src)""".stripMargin
+}

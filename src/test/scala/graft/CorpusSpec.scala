@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+import graft.tokenize.Tokenizer
+
+class CorpusSpec extends SparkSpec {
+
+  test("tokenizer: pure Scala and Column forms agree") {
+    import spark.implicits._
+    val samples = Seq(
+      "the Fast KEY_order; sort(table)//scan",
+      "",
+      "  ",
+      "a",
+      "x1_y2 x1_y2,x1_y2",
+      "ünïcode stays-out 123_abc")
+    val viaCol = samples.toDF("c")
+      .select(Tokenizer.tokensCol(col("c")).as("t"))
+      .collect()
+      .map(_.getSeq[String](0).toList)
+    val viaScala = samples.map(Tokenizer.tokenize(_).toList)
+    assert(viaCol.toList == viaScala.toList)
+  }
+
+  test("dense docIDs are 0..n-1 with no gaps, ordered by (repo,path,commit)") {
+    val d = Corpus.docs(spark, sf0001).cache()
+    val n = d.count()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == (0L until n))
+    // id order == key order
+    val byKey = d.orderBy("repo", "path", "commit")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(byKey.toSeq == (0L until n))
+    d.unpersist()
+  }
+
+  test("per-row content sha256 invariant vs source documents (input_hint)") {
+    val docs = Corpus.documents(spark, sf0001)
+      .select(sha2(col("text"), 256).as("sha"))
+    val ours = Corpus.docs(spark, sf0001).select(col("content_sha").as("sha"))
+    assert(ours.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(ours).count() == 0)
+  }
+
+  test("doc_len equals pure-tokenizer length") {
+    val rows = Corpus.docs(spark, sf0001)
+      .select("content", "doc_len").collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == Tokenizer.tokenize(r.getString(0)).length)
+    }
+  }
+}
