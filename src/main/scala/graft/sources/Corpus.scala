@@ -19,9 +19,29 @@ object Corpus {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Deterministic corpus amplification for throughput benchmarking:
+    * replicates each document `factor` times with distinct doc_ids
+    * (doc_id * factor + replica). No external data — a pure seeded
+    * blow-up of the driver-provided table so scaling runs are
+    * compute-bound rather than overhead-bound. Correctness queries never
+    * use this.
+    */
+  def documentsAmplified(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = documents(spark, sfDir)
+    val replicas = spark.range(factor).toDF("replica")
+    base.crossJoin(broadcast(replicas))
+      .withColumn("doc_id",
+        col("doc_id") * factor + col("replica"))
+      .drop("replica")
+      // the blown-up corpus is born in as few partitions as the tiny
+      // base file; spread it so downstream per-row compute parallelizes
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
   /** F1: the source-code table (repo, path, commit, lang, content). */
-  def sourceTable(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir).select(
+  def sourceTable(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame =
+    (if (amplify > 1) documentsAmplified(spark, sfDir, amplify)
+     else documents(spark, sfDir)).select(
       concat(lit("repo-"), (col("doc_id") % 13).cast("string")).as("repo"),
       concat(lit("src/"), col("source"), lit("/"),
         col("doc_id").cast("string"), lit("."), col("lang")).as("path"),
@@ -85,12 +105,13 @@ object Corpus {
   /** F1 table with dense doc_id (0-based, (repo, path, commit) order),
     * content sha256, and token-count doc length.
     */
-  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+  def docs(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame = {
     import graft.tokenize.Tokenizer
-    val src = sourceTable(spark, sfDir)
+    val src = sourceTable(spark, sfDir, amplify)
+    val docLenUdf = udf((c: String) => Tokenizer.countTokens(c))
     withDenseId(src, Seq("repo", "path", "commit"), "doc_id")
       .withColumn("content_sha", sha2(col("content"), 256))
-      .withColumn("doc_len", size(Tokenizer.tokensCol(col("content"))))
+      .withColumn("doc_len", docLenUdf(col("content")))
       .select("doc_id", "repo", "path", "commit", "lang", "content",
         "content_sha", "doc_len")
   }

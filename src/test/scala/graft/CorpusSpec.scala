@@ -24,6 +24,23 @@ class CorpusSpec extends SparkSpec {
     assert(viaCol.toList == viaScala.toList)
   }
 
+  test("property: fast char-scan tokenizer == regex reference tokenizer") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val asciiGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '_', '.', '(', ')', ';', '\n', '\t', '-', '+'),
+      1 -> Gen.choose(0.toChar, 127.toChar),
+      1 -> Gen.choose(128.toChar, 0x2000.toChar) // non-ASCII → fallback
+    )).map(_.mkString)
+    val prop = Prop.forAll(asciiGen) { s =>
+      Tokenizer.tokenize(s).toList == Tokenizer.tokenizeRegex(s).toList &&
+        Tokenizer.countTokens(s) == Tokenizer.tokenizeRegex(s).length
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dense docIDs are 0..n-1 with no gaps, ordered by (repo,path,commit)") {
     val d = Corpus.docs(spark, sf0001).cache()
     val n = d.count()
