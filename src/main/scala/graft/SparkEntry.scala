@@ -84,6 +84,28 @@ object SparkEntry {
     "q_bm25_wand_batch" -> ((s, dir) => {
       val idx = graft.build.Indexes.ensureBuilt(s, dir)
       IndexSearcher.topK(s, idx, QuerySet.queries, 10)
+    }),
+
+    // M5/M8 graft: tombstone delete + compaction re-ranks survivors
+    // dense in old-id order (the reference's shift-down semantics,
+    // /root/reference/src/utils.jl:16-20, as one batch job).
+    "q_delete_compact" -> ((s, dir) => {
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      val n = graft.build.ManifestIO.read(s"$idx/manifest.json").num_docs
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-qdc").toString
+      // clone the index dir's tombstone state by building survivors view
+      // directly: delete head/middle/tail ranges
+      val dead = (0L until 10L) ++ (100L until 120L) ++ ((n - 5) until n)
+      val tmpIdx = java.nio.file.Files
+        .createTempDirectory("graft-qdc-idx").toString
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(idx), new java.io.File(tmpIdx))
+      graft.maintain.Maintenance.delete(tmpIdx, dead)
+      graft.maintain.Maintenance.compact(s, tmpIdx, work)
+      s.read.parquet(s"$work/docstore")
+        .select("doc_id", "content_sha")
+        .orderBy("doc_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,7 +145,19 @@ object SparkEntry {
       Bm25SqlPath.oracleSql(QuerySet.queries.take(1), 10)),
 
     "q_bm25_wand_batch" -> duckRankCast(
-      Bm25SqlPath.oracleSql(QuerySet.queries, 10)))
+      Bm25SqlPath.oracleSql(QuerySet.queries, 10)),
+
+    // delete+compact: survivors re-ranked dense over old-id order
+    "q_delete_compact" ->
+      s"""WITH ${Corpus.sqlDocsCtes},
+         |survivors AS (
+         |  SELECT * FROM docs
+         |  WHERE NOT (doc_id < 10
+         |    OR (doc_id >= 100 AND doc_id < 120)
+         |    OR doc_id >= (SELECT max(doc_id) - 4 FROM docs)))
+         |SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
+         |       content_sha
+         |FROM survivors ORDER BY 1""".stripMargin)
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =

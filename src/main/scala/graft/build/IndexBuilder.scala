@@ -80,9 +80,24 @@ object IndexBuilder {
       spark: SparkSession,
       sfDir: String,
       indexDir: String,
-      cfg: BuildConfig = BuildConfig()): BuildResult = {
+      cfg: BuildConfig = BuildConfig()): BuildResult =
+    buildFromSource(spark,
+      Corpus.sourceTable(spark, sfDir, cfg.amplify), indexDir, cfg,
+      lineageName = sfDir)
+
+  /** Build from any F1-shaped source DataFrame; `idOrder` defines the
+    * dense docID order (compaction passes the old id).
+    */
+  def buildFromSource(
+      spark: SparkSession,
+      source: DataFrame,
+      indexDir: String,
+      cfg: BuildConfig = BuildConfig(),
+      idOrder: Seq[String] = Seq("repo", "path", "commit"),
+      lineageName: String = "<dataframe>"): BuildResult = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    val sfDir = lineageName
     var run = Vector.empty[String]
     var skip = Vector.empty[String]
 
@@ -100,7 +115,7 @@ object IndexBuilder {
     // ---- step 1: docstore (docs + kmeans cluster assignment) ----------
     step("docstore") {
       val docs = CoarseClusterer.withFeatures(
-        Corpus.docs(spark, sfDir, cfg.amplify))
+        Corpus.docsFrom(source, idOrder))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // ONE stats job: count + exact doc-length sum (Long — order
       // independent), stashed for later steps (no recomputation).
@@ -140,73 +155,11 @@ object IndexBuilder {
     // g-max, so NO dictionary join is needed here, and the dictionary
     // (step 3) aggregates from block metadata — one tokenize pass total.
     step("postings") {
-      val cstats = loadStats(indexDir)
-      val avgdl = cstats.avgdl
-
-      val postings = docstore
-        .select("doc_id", "cluster_id", "content", "doc_len")
-        .as[(Long, Int, String, Int)]
-        .flatMap { case (docId, clusterId, content, dl) =>
-          val toks = Tokenizer.tokenize(content)
-          val byTerm = scala.collection.mutable.LinkedHashMap
-            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-          var i = 0
-          toks.foreach { t =>
-            byTerm.getOrElseUpdate(t,
-              scala.collection.mutable.ArrayBuffer.empty[Int]) += i
-            i += 1
-          }
-          byTerm.iterator.map { case (t, ps) =>
-            Posting(t, clusterId, docId, ps.length, dl, ps.toArray)
-          }
-        }
-
-      val acc: CollectionAccumulator[SegmentMeta] =
-        spark.sparkContext.collectionAccumulator[SegmentMeta]("segments")
-
-      val blocks = postings
-        .repartitionByRange(col("cluster_id"), col("doc_id"))
-        .sortWithinPartitions(col("cluster_id"), col("term"), col("doc_id"))
-        .select("term", "cluster_id", "doc_id", "tf", "dl", "positions")
-        .as[(String, Int, Long, Int, Int, Array[Int])]
-        .mapPartitions { rows =>
-          val segId = TaskContext.getPartitionId()
-          val tStart = System.nanoTime()
-          var nPostings = 0L
-          var nBlocks = 0L
-          var nBytes = 0L
-          val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
-          var curKey: (Int, String) = null
-          val buf = scala.collection.mutable.ArrayBuffer.empty[PostingEntry]
-          def flush(): Unit = if (buf.nonEmpty) {
-            val bs = PostingCodec.encodeTerm(curKey._2, curKey._1, segId,
-              buf.toSeq, (tf, dl) => Bm25.g(tf, dl, avgdl))
-            bs.foreach { b =>
-              out += b
-              nBlocks += 1
-              nBytes += PostingCodec.storedBytes(b)
-            }
-            nPostings += buf.size
-            buf.clear()
-          }
-          rows.foreach { case (term, cid, docId, tf, dl, pos) =>
-            val key = (cid, term)
-            if (key != curKey) { flush(); curKey = key }
-            buf += PostingEntry(docId, tf, dl, pos)
-          }
-          flush()
-          val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
-          if (nPostings > 0) acc.add(SegmentMeta(
-            segId, nPostings, nBlocks, nBytes, millis,
-            nPostings * 1000.0 / millis,
-            nBytes.toDouble / nPostings))
-          out.iterator
-        }
-
+      val avgdl = loadStats(indexDir).avgdl
+      val (blocks, acc) = encodeBlocks(spark, docstore, avgdl, 0)
       blocks.write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(s"$indexDir/postings")
-
       // segment metrics observed during the job
       val segs = {
         import scala.jdk.CollectionConverters._
@@ -216,65 +169,14 @@ object IndexBuilder {
     }
 
     // ---- step 3: dictionary (df/cf/idf from block metadata) ------------
-    // Each (term, doc) posting lives in exactly one block, so
-    // df = Σ count and cf = Σ tf_sum over a term's blocks. Scans only
-    // three tiny columns — no content pass. Map-side partial aggregation
-    // already spreads stop-word-heavy terms (each reducer key carries a
-    // pre-combined partial per task, the same effect the salted
-    // two-phase gives non-combinable aggregates).
     step("dictionary") {
-      val n = loadStats(indexDir).num_docs
-      spark.read.parquet(s"$indexDir/postings")
-        .groupBy(col("term"))
-        .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
-        .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
-        .write.mode("overwrite").parquet(s"$indexDir/dictionary")
+      writeDictionary(spark, indexDir, loadStats(indexDir).num_docs)
     }
 
     // ---- step 4: manifest ----------------------------------------------
     step("manifest") {
       val cstats = loadStats(indexDir)
-      val numDocs = cstats.num_docs
-      val avgdl = cstats.avgdl
-      val vocab = spark.read.parquet(s"$indexDir/dictionary").count()
-      val centroids = loadCentroids(indexDir)
-
-      val blockStats = spark.read.parquet(s"$indexDir/postings")
-        .groupBy("cluster_id")
-        .agg(
-          sum(col("count")).as("postings"),
-          count(lit(1)).as("blocks"),
-          sum(length(col("doc_gaps")) + length(col("tfs")) +
-            length(col("dls")) + length(col("positions"))).as("bytes"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val docCounts = docstore.groupBy("cluster_id").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-
-      val parts = docCounts.keys.toSeq.sorted.map { cid =>
-        val (p, b, by) = blockStats.getOrElse(cid, (0L, 0L, 0L))
-        PartitionMeta(cid, docCounts(cid), p, b, by,
-          build_millis = 0L,
-          postings_per_sec = 0.0,
-          bytes_per_posting = if (p > 0) by.toDouble / p else 0.0)
-      }
-
-      val manifest = IndexManifest(
-        version = 1,
-        num_docs = numDocs,
-        avgdl = avgdl,
-        vocab_size = vocab,
-        kc = centroids.length,
-        feature_dim = CoarseClusterer.Dim,
-        k1 = Bm25.K1,
-        b = Bm25.B,
-        round_scale = Bm25.Scale,
-        centroids = centroids,
-        lineage = InputLineage(sfDir, numDocs),
-        partitions = parts,
-        segments = loadSegments(indexDir))
-      ManifestIO.write(s"$indexDir/manifest.json", manifest)
+      writeManifest(spark, indexDir, cstats.num_docs, cstats.avgdl, sfDir)
     }
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
@@ -289,6 +191,148 @@ object IndexBuilder {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
     m
+  }
+
+  /** The B6 heart: docs → posting rows (one char-scan tokenize pass) →
+    * ONE range shuffle on (cluster_id, doc_id) → sorted runs per
+    * (cluster, term) → delta+varint blocks with idf-free g-max headers.
+    * Per-segment lineage/metrics flow back via an accumulator.
+    * `segmentOffset` keeps appended segments' ids distinct from the base
+    * build's (Maintenance.append).
+    */
+  def encodeBlocks(
+      spark: SparkSession,
+      docs: DataFrame,
+      avgdl: Double,
+      segmentOffset: Int): (org.apache.spark.sql.Dataset[PostingBlock],
+      CollectionAccumulator[SegmentMeta]) = {
+    import spark.implicits._
+    val postings = docs
+      .select("doc_id", "cluster_id", "content", "doc_len")
+      .as[(Long, Int, String, Int)]
+      .flatMap { case (docId, clusterId, content, dl) =>
+        val toks = Tokenizer.tokenize(content)
+        val byTerm = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        var i = 0
+        toks.foreach { t =>
+          byTerm.getOrElseUpdate(t,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+          i += 1
+        }
+        byTerm.iterator.map { case (t, ps) =>
+          Posting(t, clusterId, docId, ps.length, dl, ps.toArray)
+        }
+      }
+
+    val acc: CollectionAccumulator[SegmentMeta] =
+      spark.sparkContext.collectionAccumulator[SegmentMeta]("segments")
+
+    val blocks = postings
+      .repartitionByRange(col("cluster_id"), col("doc_id"))
+      .sortWithinPartitions(col("cluster_id"), col("term"), col("doc_id"))
+      .select("term", "cluster_id", "doc_id", "tf", "dl", "positions")
+      .as[(String, Int, Long, Int, Int, Array[Int])]
+      .mapPartitions { rows =>
+        val segId = TaskContext.getPartitionId() + segmentOffset
+        val tStart = System.nanoTime()
+        var nPostings = 0L
+        var nBlocks = 0L
+        var nBytes = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+        var curKey: (Int, String) = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[PostingEntry]
+        def flush(): Unit = if (buf.nonEmpty) {
+          val bs = PostingCodec.encodeTerm(curKey._2, curKey._1, segId,
+            buf.toSeq, (tf, dl) => Bm25.g(tf, dl, avgdl))
+          bs.foreach { b =>
+            out += b
+            nBlocks += 1
+            nBytes += PostingCodec.storedBytes(b)
+          }
+          nPostings += buf.size
+          buf.clear()
+        }
+        rows.foreach { case (term, cid, docId, tf, dl, pos) =>
+          val key = (cid, term)
+          if (key != curKey) { flush(); curKey = key }
+          buf += PostingEntry(docId, tf, dl, pos)
+        }
+        flush()
+        val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
+        if (nPostings > 0) acc.add(SegmentMeta(
+          segId, nPostings, nBlocks, nBytes, millis,
+          nPostings * 1000.0 / millis,
+          nBytes.toDouble / nPostings))
+        out.iterator
+      }
+    (blocks, acc)
+  }
+
+  /** Dictionary = df/cf/idf aggregated from block metadata: each
+    * (term, doc) posting lives in exactly one block, so df = Σ count and
+    * cf = Σ tf_sum over a term's blocks. Scans only three tiny columns —
+    * no content pass. Map-side partial aggregation already spreads
+    * stop-word-heavy terms (each reducer key receives pre-combined
+    * partials per task — the effect salting gives non-combinable aggs).
+    * Also used by Maintenance.append to refresh idf after segment adds.
+    */
+  def writeDictionary(spark: SparkSession, indexDir: String, n: Long): Unit = {
+    val tmp = s"$indexDir/dictionary_tmp"
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("term"))
+      .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
+      .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
+      .write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(s"$indexDir/dictionary")
+    org.apache.commons.io.FileUtils.deleteQuietly(target.toFile)
+    Files.move(Paths.get(tmp), target)
+  }
+
+  /** Recomputes per-partition stats and writes the manifest. Also used
+    * by Maintenance after appends.
+    */
+  def writeManifest(spark: SparkSession, indexDir: String,
+      numDocs: Long, avgdl: Double, lineageName: String): Unit = {
+    val vocab = spark.read.parquet(s"$indexDir/dictionary").count()
+    val centroids = loadCentroids(indexDir)
+    val blockStats = spark.read.parquet(s"$indexDir/postings")
+      .groupBy("cluster_id")
+      .agg(
+        sum(col("count")).as("postings"),
+        count(lit(1)).as("blocks"),
+        sum(length(col("doc_gaps")) + length(col("tfs")) +
+          length(col("dls")) + length(col("positions"))).as("bytes"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docCounts = spark.read.parquet(s"$indexDir/docstore")
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val parts = docCounts.keys.toSeq.sorted.map { cid =>
+      val (p, b, by) = blockStats.getOrElse(cid, (0L, 0L, 0L))
+      PartitionMeta(cid, docCounts(cid), p, b, by,
+        build_millis = 0L,
+        postings_per_sec = 0.0,
+        bytes_per_posting = if (p > 0) by.toDouble / p else 0.0)
+    }
+
+    val manifest = IndexManifest(
+      version = 1,
+      num_docs = numDocs,
+      avgdl = avgdl,
+      vocab_size = vocab,
+      kc = centroids.length,
+      feature_dim = CoarseClusterer.Dim,
+      k1 = Bm25.K1,
+      b = Bm25.B,
+      round_scale = Bm25.Scale,
+      centroids = centroids,
+      lineage = InputLineage(lineageName, numDocs),
+      partitions = parts,
+      segments = loadSegments(indexDir))
+    ManifestIO.write(s"$indexDir/manifest.json", manifest)
   }
 
   /** Corpus stats computed once in the docstore step (exact Long sum →

@@ -1,0 +1,115 @@
+package graft.maintain
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, ManifestIO}
+import graft.cluster.CoarseClusterer
+import graft.sources.Corpus
+
+/** Incremental index maintenance — the graft of the reference's point
+  * mutations (SURVEY.md §2.3, /root/reference/src/utils.jl):
+  *
+  *  - [[append]]  = `push!` (M1): new docs become a NEW mini-segment —
+  *    docIDs continue from num_docs (insertion order, exactly
+  *    `id = nvectors` at /root/reference/src/utils.jl:140-143), blocks
+  *    are appended under the existing cluster partitioning, the
+  *    dictionary/idf refresh from block metadata. The scoring avgdl is
+  *    intentionally HELD at its last full-build value until compaction
+  *    (stored g-maxes stay valid upper bounds; Lucene holds norms the
+  *    same way).
+  *  - [[delete]]  = `delete_from_index!` (M5): a tombstone set — O(1)
+  *    visibility-only delete; queries filter tombstoned docs before
+  *    top-k selection.
+  *  - [[compact]] = the deferred id-shift (M8,
+  *    /root/reference/src/utils.jl:16-20): rebuilds into a new snapshot
+  *    directory with survivors re-ranked DENSE IN OLD-ID ORDER —
+  *    identical semantics to the reference's "shift all higher ids
+  *    down", executed as one batch job instead of per-delete.
+  *  - [[fetchDocs]] = `_decode_point` (M7): the docstore is lossless, so
+  *    reconstruction is exact (the reference's PQ reconstruction is
+  *    lossy).
+  */
+object Maintenance {
+
+  private def tombstonePath(indexDir: String) =
+    Paths.get(indexDir, "tombstones.json")
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  def loadTombstones(indexDir: String): Set[Long] = {
+    val p = tombstonePath(indexDir)
+    if (!Files.exists(p)) Set.empty
+    else mapper.readValue(Files.readAllBytes(p), classOf[Array[Long]]).toSet
+  }
+
+  /** M5: tombstone docIDs (idempotent, merges with existing). */
+  def delete(indexDir: String, docIds: Seq[Long]): Unit = {
+    val merged = (loadTombstones(indexDir) ++ docIds).toArray.sorted
+    Files.write(tombstonePath(indexDir), mapper.writeValueAsBytes(merged))
+  }
+
+  /** M1: append an F1-shaped batch of new source files as a mini-segment.
+    * New docIDs = num_docs + rank within the batch by (repo,path,commit).
+    */
+  def append(spark: SparkSession, indexDir: String, newSource: DataFrame): Unit = {
+    val manifest = ManifestIO.read(s"$indexDir/manifest.json")
+    val centroids = manifest.centroids
+    val avgdl = manifest.avgdl // held until compaction
+
+    val docs = CoarseClusterer.withClusterId(
+      CoarseClusterer.withFeatures(
+        Corpus.docsFrom(newSource, idOffset = manifest.num_docs)),
+      centroids)
+
+    docs
+      .repartitionByRange(col("cluster_id"), col("doc_id"))
+      .write.mode("append")
+      .partitionBy("cluster_id")
+      .parquet(s"$indexDir/docstore")
+
+    val segOffset = (manifest.segments.map(_.segment_id) :+ 0).max + 1
+    val (blocks, _) = IndexBuilder.encodeBlocks(spark, docs, avgdl, segOffset)
+    blocks.write.mode("append")
+      .partitionBy("cluster_id")
+      .parquet(s"$indexDir/postings")
+
+    val added = docs.count()
+    val nNew = manifest.num_docs + added
+    IndexBuilder.writeDictionary(spark, indexDir, nNew)
+    IndexBuilder.writeManifest(spark, indexDir, nNew, avgdl,
+      manifest.lineage.source_dir)
+  }
+
+  /** M5/M8 compaction: survivors re-ranked dense in OLD-id order into a
+    * fresh snapshot directory (avgdl/idf refreshed there).
+    */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): IndexBuilder.BuildResult = {
+    val dead = loadTombstones(indexDir)
+    import spark.implicits._
+    // broadcast left-anti join: the idiomatic tombstone filter (scales
+    // to large tombstone sets where an isin literal would not)
+    val deadDf = dead.toSeq.toDF("doc_id")
+    val survivors = spark.read.parquet(s"$indexDir/docstore")
+      .join(broadcast(deadDf), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("old_doc_id"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+    IndexBuilder.buildFromSource(spark, survivors, outDir,
+      IndexBuilder.BuildConfig(resume = false),
+      idOrder = Seq("old_doc_id"),
+      lineageName = s"compact($indexDir)")
+  }
+
+  /** M7: exact reconstruction from the lossless docstore. */
+  def fetchDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Array[Row] =
+    spark.read.parquet(s"$indexDir/docstore")
+      .filter(col("doc_id").isin(docIds: _*))
+      .orderBy("doc_id")
+      .collect()
+}

@@ -88,6 +88,8 @@ object IndexSearcher {
 
     val queriesBc = spark.sparkContext.broadcast(parsed)
     val idfBc = spark.sparkContext.broadcast(idfMap)
+    val tombstonesBc = spark.sparkContext.broadcast(
+      graft.maintain.Maintenance.loadTombstones(indexDir))
     val avgdl = manifest.avgdl
     val kLocal = k
 
@@ -149,7 +151,7 @@ object IndexSearcher {
                     tl.blockStarts, tl.blockMaxes.map(_ * qtf))
                 }
               }
-              Wand.topK(lists, kLocal)
+              Wand.topK(lists, kLocal, tombstonesBc.value.contains)
                 .map(h => (q.qid, h.docId, h.score))
             }
         }

@@ -54,7 +54,8 @@ object Wand {
   /** Exhaustive reference scorer (term-at-a-time accumulation) — used by
     * tests to validate WAND and by callers who want no skipping.
     */
-  def bruteForceTopK(lists: Array[TermList], k: Int): Array[Hit] = {
+  def bruteForceTopK(lists: Array[TermList], k: Int,
+      excluded: Long => Boolean = _ => false): Array[Hit] = {
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     lists.foreach { l =>
       var i = 0
@@ -68,13 +69,18 @@ object Wand {
     }
     import scala.jdk.CollectionConverters._
     acc.asScala.toArray
-      .map { case (d, s) => Hit(d.longValue, round(s.doubleValue)) }
+      .collect { case (d, s) if !excluded(d.longValue) =>
+        Hit(d.longValue, round(s.doubleValue))
+      }
       .sortBy(h => (-h.score, h.docId))
       .take(k)
   }
 
-  /** Block-max WAND top-k over one cluster's term lists. */
-  def topK(listsIn: Array[TermList], k: Int): Array[Hit] = {
+  /** Block-max WAND top-k over one cluster's term lists. `excluded`
+    * filters tombstoned docs BEFORE they can occupy a top-k slot.
+    */
+  def topK(listsIn: Array[TermList], k: Int,
+      excluded: Long => Boolean = _ => false): Array[Hit] = {
     val lists = listsIn.filter(_.docs.nonEmpty)
     if (lists.isEmpty || k <= 0) return Array.empty
 
@@ -187,7 +193,7 @@ object Wand {
               if (doc(li) == pivotDoc) { s += lists(li).contribs(pos(li)); pos(li) += 1 }
               j2 += 1
             }
-            offer(pivotDoc, s)
+            if (!excluded(pivotDoc)) offer(pivotDoc, s)
           }
         } else {
           // advance the highest-UB list before the pivot up to pivotDoc

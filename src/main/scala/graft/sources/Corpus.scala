@@ -105,11 +105,23 @@ object Corpus {
   /** F1 table with dense doc_id (0-based, (repo, path, commit) order),
     * content sha256, and token-count doc length.
     */
-  def docs(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame = {
+  def docs(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame =
+    docsFrom(sourceTable(spark, sfDir, amplify))
+
+  /** F1-shaped source (+ optional extra ordering columns) → docs with
+    * dense 0-based doc_id in `idOrder` order, content sha, doc length.
+    * Compaction passes idOrder = old doc_id to preserve the reference's
+    * insertion-order id semantics after deletes
+    * (/root/reference/src/utils.jl:16-20).
+    */
+  def docsFrom(
+      src: DataFrame,
+      idOrder: Seq[String] = Seq("repo", "path", "commit"),
+      idOffset: Long = 0L): DataFrame = {
     import graft.tokenize.Tokenizer
-    val src = sourceTable(spark, sfDir, amplify)
     val docLenUdf = udf((c: String) => Tokenizer.countTokens(c))
-    withDenseId(src, Seq("repo", "path", "commit"), "doc_id")
+    withDenseId(src, idOrder, "doc_id")
+      .withColumn("doc_id", col("doc_id") + idOffset)
       .withColumn("content_sha", sha2(col("content"), 256))
       .withColumn("doc_len", docLenUdf(col("content")))
       .select("doc_id", "repo", "path", "commit", "lang", "content",
