@@ -106,6 +106,27 @@ object SparkEntry {
       s.read.parquet(s"$work/docstore")
         .select("doc_id", "content_sha")
         .orderBy("doc_id")
+    }),
+
+    // ANN baseline: exact brute-force L2 top-5 (zip_with + aggregate,
+    // codegen'd — no UDF) for 5 fixed query vectors.
+    "q_ann_brute" -> ((s, dir) =>
+      graft.ops.Similarity.bruteForceTopK(s,
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 5)),
+
+    // ANN scale path: IVFADC (kmeans coarse cells + PQ-ADC scan) — the
+    // reference's own algorithm as a Spark job; approximate, so
+    // rows-only driver check (rank-identity vs the reference formula is
+    // asserted in IvfAdcParitySpec).
+    "q_ann_ivfadc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (model, encoded) = graft.parity.IvfAdc.build(s, emb, kc = 8, m = 4, k = 16)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v) }.toSeq
+      graft.parity.IvfAdc.search(s, model, encoded, qs, 10, 2)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,7 +178,10 @@ object SparkEntry {
          |    OR doc_id >= (SELECT max(doc_id) - 4 FROM docs)))
          |SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
          |       content_sha
-         |FROM survivors ORDER BY 1""".stripMargin)
+         |FROM survivors ORDER BY 1""".stripMargin,
+
+    "q_ann_brute" ->
+      graft.ops.Similarity.bruteForceOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 5))
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =
