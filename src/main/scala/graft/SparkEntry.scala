@@ -127,7 +127,41 @@ object SparkEntry {
         .as[(Long, Array[Float])].collect().sortBy(_._1)
         .map { case (id, v) => (id.toInt, v) }.toSeq
       graft.parity.IvfAdc.search(s, model, encoded, qs, 10, 2)
-    }))
+    }),
+
+    // Exact dedup (hash-groupBy) over a deterministic self-union (the
+    // natural corpus has no exact dups — the union makes every content a
+    // group of >= 2 so the operator's output is exercised).
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "content_sha")
+      val n = lit(500000L) // offset >> any sf's doc count
+      val both = d.unionAll(d.withColumn("doc_id", col("doc_id") + n))
+      graft.ops.Dedup.exactGroups(both)
+    }),
+
+    // MinHash + LSH near-dup pairs (shingle → signature → band bucket →
+    // candidate join → exact Jaccard verify).
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashNearDups(s, docs(s, dir), 0.5)),
+
+    // SimHash fingerprints + Hamming-distance pairs.
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashNearDups(s, docs(s, dir), 3)),
+
+    // Embedding-cosine near-dup pairs (brute force at sandbox scale;
+    // the IVF bucketing above is the scale path).
+    "q_dedup_embed" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
+
+    // Language-ID heuristic (stopword ratios + argmax).
+    "q_lang_id" -> ((s, dir) => graft.ops.TextStats.langId(docs(s, dir))),
+
+    // Quality scoring (length/diversity/stopword composite).
+    "q_quality" -> ((s, dir) => graft.ops.TextStats.quality(docs(s, dir))),
+
+    // Per-language corpus token stats.
+    "q_token_stats" -> ((s, dir) => graft.ops.TextStats.tokenStats(docs(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -181,7 +215,30 @@ object SparkEntry {
          |FROM survivors ORDER BY 1""".stripMargin,
 
     "q_ann_brute" ->
-      graft.ops.Similarity.bruteForceOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 5))
+      graft.ops.Similarity.bruteForceOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 5),
+
+    "q_dedup_exact" ->
+      s"""WITH ${Corpus.sqlDocsCtes},
+         |doubled AS (
+         |  SELECT doc_id, content_sha FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 500000, content_sha FROM docs)
+         |SELECT content_sha, count(*) AS cnt,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM doubled GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY content_sha""".stripMargin,
+
+    "q_dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(0.5),
+
+    "q_dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
+
+    "q_dedup_embed" -> graft.ops.Dedup.embeddingOracleSql(0.45),
+
+    "q_lang_id" -> graft.ops.TextStats.langIdOracleSql,
+
+    "q_quality" -> graft.ops.TextStats.qualityOracleSql,
+
+    "q_token_stats" -> graft.ops.TextStats.tokenStatsOracleSql)
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.Tokenizer
+
+/** Text-analysis operators for the training-data pipeline: language-ID
+  * (stopword-ratio heuristic), quality scoring (length / diversity /
+  * stopword mix), per-language token stats. All declarative
+  * `functions._` with DuckDB oracle twins sharing the same constants.
+  */
+object TextStats {
+
+  /** Stopword sets per language for the n-gram-free langid heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "to", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"))
+
+  val QualityStopwords: Seq[String] = Stopwords.head._2
+
+  private def tokensC = Tokenizer.tokensCol(col("content"))
+
+  private def ratioFor(words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    round(size(filter(tokensC, t => array_contains(set, t)))
+      .cast("double") / greatest(size(tokensC), lit(1)), 4)
+  }
+
+  private def sqlRatioFor(words: Seq[String]): String = {
+    val toks = Tokenizer.sqlTokensExpr("content")
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"round(CAST(len(list_filter($toks, t -> list_contains($lst, t))) AS DOUBLE)" +
+      s" / greatest(len($toks), 1), 4)"
+  }
+
+  /** Language-ID heuristic: per-language stopword ratios + argmax
+    * (ties → lexicographically first language code).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val withRatios = Stopwords.foldLeft(docs.select(col("doc_id"), col("content"))) {
+      case (df, (lang, words)) => df.withColumn(s"${lang}_ratio", ratioFor(words))
+    }
+    val best = Stopwords.map(_._1).sorted
+      .map(l => struct(col(s"${l}_ratio").as("r"), lit(l).as("l")))
+    withRatios
+      .withColumn("predicted",
+        when(greatest(Stopwords.map(s => col(s"${s._1}_ratio")): _*) === 0, lit("und"))
+          .otherwise(array_max(array(best: _*)).getField("l")))
+      .select((Seq(col("doc_id")) ++
+        Stopwords.map(s => col(s"${s._1}_ratio")) :+ col("predicted")): _*)
+      .orderBy("doc_id")
+  }
+
+  def langIdOracleSql: String = {
+    val ratios = Stopwords
+      .map { case (l, ws) => s"${sqlRatioFor(ws)} AS ${l}_ratio" }
+      .mkString(",\n       ")
+    val langs = Stopwords.map(_._1).sorted
+    val structs = langs
+      .map(l => s"{'r': ${l}_ratio, 'l': '$l'}").mkString(", ")
+    val greatestExpr = Stopwords.map(s => s"${s._1}_ratio").mkString(", ")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |r AS (
+       |  SELECT doc_id, content, $ratios
+       |  FROM docs)
+       |SELECT doc_id, ${Stopwords.map(s => s"${s._1}_ratio").mkString(", ")},
+       |       CASE WHEN greatest($greatestExpr) = 0 THEN 'und'
+       |            ELSE list_max([$structs]).l END AS predicted
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-doc quality features + composite score. */
+  def quality(docs: DataFrame): DataFrame = {
+    val n = greatest(size(tokensC), lit(1))
+    docs.select(
+      col("doc_id"),
+      size(tokensC).as("n_tokens"),
+      round(size(array_distinct(tokensC)).cast("double") / n, 4).as("uniq_ratio"),
+      round(length(array_join(tokensC, "")).cast("double") / n, 4)
+        .as("mean_token_len"),
+      ratioFor(QualityStopwords).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * col("uniq_ratio") +
+          lit(0.3) * (lit(1.0) - col("stopword_ratio")), 5))
+      .orderBy("doc_id")
+  }
+
+  def qualityOracleSql: String = {
+    val toks = Tokenizer.sqlTokensExpr("content")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |f AS (
+       |  SELECT doc_id,
+       |         CAST(len($toks) AS INTEGER) AS n_tokens,
+       |         round(CAST(len(list_distinct($toks)) AS DOUBLE)
+       |           / greatest(len($toks), 1), 4) AS uniq_ratio,
+       |         round(CAST(len(array_to_string($toks, '')) AS DOUBLE)
+       |           / greatest(len($toks), 1), 4) AS mean_token_len,
+       |         ${sqlRatioFor(QualityStopwords)} AS stopword_ratio
+       |  FROM docs)
+       |SELECT doc_id, n_tokens, uniq_ratio, mean_token_len, stopword_ratio,
+       |       -- literals cast to DOUBLE (DuckDB would otherwise use exact
+       |       -- DECIMAL arithmetic); rounded to 5 decimals because the
+       |       -- weighted sum of 4-decimal inputs is an exact multiple of
+       |       -- 1e-5 — rounding THERE is unambiguous, while rounding to 4
+       |       -- hits .00005 half-way points where engines disagree
+       |       round(0.4::DOUBLE * least(1.0::DOUBLE,
+       |           CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE)
+       |         + 0.3::DOUBLE * uniq_ratio
+       |         + 0.3::DOUBLE * (1.0::DOUBLE - stopword_ratio), 5) AS quality_score
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus token stats per language: docs, token totals, vocab. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"), col("doc_len"),
+        explode(tokensC).as("term"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("tokens"),
+        countDistinct(col("term")).as("vocab"))
+      .orderBy("lang")
+
+  def tokenStatsOracleSql: String = {
+    val toks = Tokenizer.sqlTokensExpr("content")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |tok AS (SELECT lang, doc_id, unnest($toks) AS term FROM docs)
+       |SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS tokens,
+       |       count(DISTINCT term) AS vocab
+       |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
+  }
+}
