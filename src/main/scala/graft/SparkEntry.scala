@@ -161,7 +161,19 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => graft.ops.TextStats.quality(docs(s, dir))),
 
     // Per-language corpus token stats.
-    "q_token_stats" -> ((s, dir) => graft.ops.TextStats.tokenStats(docs(s, dir))))
+    "q_token_stats" -> ((s, dir) => graft.ops.TextStats.tokenStats(docs(s, dir))),
+
+    // Exact phrase search over the index's position payloads (the
+    // operator that justifies storing positions in posting blocks).
+    "q_phrase_2" -> ((s, dir) => {
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      graft.query.PhraseSearch.search(s, idx, Seq("batch", "batch"))
+    }),
+
+    "q_phrase_3" -> ((s, dir) => {
+      val idx = graft.build.Indexes.ensureBuilt(s, dir)
+      graft.query.PhraseSearch.search(s, idx, Seq("hash", "join", "merge"))
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -238,7 +250,12 @@ object SparkEntry {
 
     "q_quality" -> graft.ops.TextStats.qualityOracleSql,
 
-    "q_token_stats" -> graft.ops.TextStats.tokenStatsOracleSql)
+    "q_token_stats" -> graft.ops.TextStats.tokenStatsOracleSql,
+
+    "q_phrase_2" -> graft.query.PhraseSearch.oracleSql(Seq("batch", "batch")),
+
+    "q_phrase_3" ->
+      graft.query.PhraseSearch.oracleSql(Seq("hash", "join", "merge")))
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =

@@ -112,4 +112,50 @@ object Maintenance {
       .filter(col("doc_id").isin(docIds: _*))
       .orderBy("doc_id")
       .collect()
+
+  private def liveIds(spark: SparkSession, indexDir: String) = {
+    val dead = loadTombstones(indexDir)
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/docstore")
+      .join(broadcast(dead.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** M3 `pop!`: reconstruct + tombstone the highest live id. Dense-id
+    * restoration happens at the next [[compact]], like the reference's
+    * deferred shift.
+    */
+  def popLast(spark: SparkSession, indexDir: String): Option[Row] = {
+    val last = liveIds(spark, indexDir).orderBy(col("doc_id").desc).limit(1)
+      .collect().headOption
+    last.foreach(r => delete(indexDir, Seq(r.getAs[Long]("doc_id"))))
+    last
+  }
+
+  /** M4 `popfirst!`: reconstruct + tombstone the lowest live id. */
+  def popFirst(spark: SparkSession, indexDir: String): Option[Row] = {
+    val first = liveIds(spark, indexDir).orderBy(col("doc_id").asc).limit(1)
+      .collect().headOption
+    first.foreach(r => delete(indexDir, Seq(r.getAs[Long]("doc_id"))))
+    first
+  }
+
+  /** M2 `pushfirst!`: prepend — new docs get ids 0..k-1, ALL existing
+    * ids shift up by k (/root/reference/src/utils.jl:2-6). Inherently a
+    * full rewrite (the reference warns the same); expressed as one
+    * compaction-style rebuild into `outDir` ordered (new-first, then
+    * old ids).
+    */
+  def prepend(spark: SparkSession, indexDir: String,
+      newSource: DataFrame, outDir: String): IndexBuilder.BuildResult = {
+    val existing = liveIds(spark, indexDir)
+      .select(lit(1).as("prio"), col("doc_id").as("old_doc_id"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+    val fresh = newSource
+      .select(lit(0).as("prio"), lit(-1L).as("old_doc_id"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+    IndexBuilder.buildFromSource(spark, fresh.unionAll(existing), outDir,
+      IndexBuilder.BuildConfig(resume = false),
+      idOrder = Seq("prio", "old_doc_id", "repo", "path", "commit"),
+      lineageName = s"prepend($indexDir)")
+  }
 }

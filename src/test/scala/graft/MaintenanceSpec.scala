@@ -90,6 +90,34 @@ class MaintenanceSpec extends SparkSpec {
       b.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
   }
 
+  test("pop/popFirst reconstruct exactly and tombstone; prepend shifts ids up") {
+    import spark.implicits._
+    val dir = freshIndex()
+    val n = ManifestIO.read(s"$dir/manifest.json").num_docs
+    val last = Maintenance.popLast(spark, dir).get
+    assert(last.getAs[Long]("doc_id") == n - 1)
+    val first = Maintenance.popFirst(spark, dir).get
+    assert(first.getAs[Long]("doc_id") == 0L)
+    // reconstruction is exact (lossless docstore)
+    assert(last.getAs[String]("content_sha").length == 64)
+    assert(Maintenance.loadTombstones(dir) == Set(0L, n - 1))
+
+    val newRows = Seq(("repo-z", "src/z/first.c", "c0ffee00cafe", "c",
+      "prepended content wins id zero")).toDF(
+      "repo", "path", "commit", "lang", "content")
+    val out = java.nio.file.Files.createTempDirectory("graft-prepend").toString
+    Maintenance.prepend(spark, dir, newRows, out)
+    val store = spark.read.parquet(s"$out/docstore")
+      .select("doc_id", "path").orderBy("doc_id").collect()
+    assert(store.head.getString(1) == "src/z/first.c") // id 0 = new doc
+    assert(store.length == n - 2 + 1) // survivors + prepended
+    assert(store.map(_.getLong(0)).toSeq == (0L until (n - 1)))
+    // introspection (X1-X3)
+    assert(graft.build.IndexInfo.numDocs(out) == n - 1)
+    val desc = graft.build.IndexInfo.describe(out)
+    assert(desc.contains("B/posting") && desc.contains(s"docs=${n - 1}"))
+  }
+
   test("append: new docs searchable with insertion-order ids; sha invariant holds") {
     val dir = freshIndex()
     val n = ManifestIO.read(s"$dir/manifest.json").num_docs
