@@ -173,7 +173,26 @@ object SparkEntry {
     "q_phrase_3" -> ((s, dir) => {
       val idx = graft.build.Indexes.ensureBuilt(s, dir)
       graft.query.PhraseSearch.search(s, idx, Seq("hash", "join", "merge"))
-    }))
+    }),
+
+    // Multimodal asset table: binary payload + typed metadata (oracle
+    // pins payload identity via the source-string sha).
+    "q_multimodal_assets" -> ((s, dir) =>
+      graft.ops.Multimodal.assets(s, dir)
+        .select(col("asset_id"), col("doc_id"), col("kind"), col("width"),
+          col("sample_rate"),
+          length(col("payload")).as("n_bytes"),
+          sha2(decode(col("payload"), "UTF-8"), 256).as("payload_src_sha"))
+        .orderBy("asset_id")),
+
+    // Multimodal feature extraction: STUBBED decode (byte histogram +
+    // frame sampling) behind real typed-mapPartitions plumbing;
+    // rows-only driver check, shape/determinism asserted in tests.
+    "q_multimodal_features" -> ((s, dir) =>
+      graft.ops.Multimodal.extractFeatures(
+        s, graft.ops.Multimodal.assets(s, dir))
+        .select("asset_id", "kind", "n_bytes", "n_frames", "checksum")
+        .orderBy("asset_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -255,7 +274,27 @@ object SparkEntry {
     "q_phrase_2" -> graft.query.PhraseSearch.oracleSql(Seq("batch", "batch")),
 
     "q_phrase_3" ->
-      graft.query.PhraseSearch.oracleSql(Seq("hash", "join", "merge")))
+      graft.query.PhraseSearch.oracleSql(Seq("hash", "join", "merge")),
+
+    "q_multimodal_assets" ->
+      s"""WITH ${Corpus.sqlDocsCtes},
+         |img AS (
+         |  SELECT doc_id * 2 AS asset_id, doc_id, 'image' AS kind,
+         |         CAST((doc_id % 4) * 64 + 64 AS INTEGER) AS width,
+         |         0 AS sample_rate,
+         |         repeat(content_sha, 4) AS src
+         |  FROM docs),
+         |aud AS (
+         |  SELECT doc_id * 2 + 1 AS asset_id, doc_id, 'audio' AS kind,
+         |         0 AS width,
+         |         CAST((doc_id % 3) * 8000 + 16000 AS INTEGER) AS sample_rate,
+         |         repeat(content_sha, 4) AS src
+         |  FROM docs),
+         |assets AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+         |SELECT asset_id, doc_id, kind, width, sample_rate,
+         |       CAST(octet_length(encode(src)) AS INTEGER) AS n_bytes,
+         |       sha256(src) AS payload_src_sha
+         |FROM assets ORDER BY asset_id""".stripMargin)
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =
