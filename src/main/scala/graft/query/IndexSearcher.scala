@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.build.ManifestIO
 import graft.cluster.CoarseClusterer
-import graft.codec.PostingCodec
 import graft.model.PostingBlock
 
 /** Index-backed top-k BM25 — entry point 2 of the reference
@@ -109,48 +108,29 @@ object IndexSearcher {
         val idf = idfBc.value
         // group this task's blocks by (cluster, term); runs from
         // different segments cover disjoint doc ranges (range
-        // partitioning at build), so sorting by first_doc then
-        // concatenating yields a globally sorted list.
+        // partitioning at build), so sorting by first_doc yields a
+        // globally sorted list. Blocks stay COMPRESSED until the WAND
+        // cursor actually touches them (LazyBlockList) — skipping saves
+        // decompression, not just arithmetic.
         val byClusterTerm = it.toSeq.groupBy(b => (b.cluster_id, b.term))
-        val decoded: Map[(Int, String), Wand.TermList] =
+        val cursors: Map[(Int, String), Wand.LazyBlockList] =
           byClusterTerm.map { case (key, bs) =>
-            val sorted = bs.sortBy(_.first_doc)
-            val total = sorted.map(_.count).sum
-            val docs = new Array[Long](total)
-            val contribs = new Array[Double](total)
-            val starts = new Array[Int](sorted.size)
-            val maxes = new Array[Double](sorted.size)
-            val termIdf = idf.getOrElse(key._2, 0.0)
-            var off = 0
-            sorted.zipWithIndex.foreach { case (b, bi) =>
-              starts(bi) = off
-              // stored block_max is the idf-free g-max; scale by idf
-              maxes(bi) = b.block_max * termIdf
-              val (ds, tfs, dls) = PostingCodec.decodeDocsTfsDls(b)
-              var i = 0
-              while (i < ds.length) {
-                docs(off) = ds(i)
-                contribs(off) =
-                  Bm25.contrib(termIdf, tfs(i).toLong, dls(i).toLong, avgdl)
-                off += 1
-                i += 1
-              }
-            }
-            key -> new Wand.TermList(docs, contribs, starts, maxes)
+            val sorted = bs.sortBy(_.first_doc).toArray
+            key -> new Wand.LazyBlockList(
+              sorted, 1.0, idf.getOrElse(key._2, 0.0), avgdl)
           }
-        val clustersHere = decoded.keySet.map(_._1)
+        val clustersHere = cursors.keySet.map(_._1)
         clustersHere.iterator.flatMap { cid =>
           qs.iterator
             .filter(_.probed.contains(cid))
             .flatMap { q =>
-              val lists = q.terms.flatMap { case (t, qtf) =>
-                decoded.get((cid, t)).map { tl =>
-                  if (qtf == 1) tl
-                  else new Wand.TermList(
-                    tl.docs, tl.contribs.map(_ * qtf),
-                    tl.blockStarts, tl.blockMaxes.map(_ * qtf))
+              val lists: Array[Wand.PostingCursor] =
+                q.terms.flatMap { case (t, qtf) =>
+                  cursors.get((cid, t)).map { c =>
+                    if (qtf == 1) c: Wand.PostingCursor
+                    else new Wand.WeightedCursor(c, qtf.toDouble)
+                  }
                 }
-              }
               Wand.topK(lists, kLocal, tombstonesBc.value.contains)
                 .map(h => (q.qid, h.docId, h.score))
             }

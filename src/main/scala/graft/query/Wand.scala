@@ -1,10 +1,13 @@
 package graft.query
 
+import graft.codec.PostingCodec
+import graft.model.PostingBlock
+
 /** Document-at-a-time WAND top-k with block-max skipping (Broder et al.
   * 2003; Ding & Suel 2011) — the graft analog of the reference's
   * inverted-list scan + bounded top-k heap
   * (/root/reference/src/index.jl:240-254). Pure Scala; runs inside the
-  * query-side `mapPartitions` scorer over one cluster's decoded lists.
+  * query-side `mapPartitions` scorer over one cluster's lists.
   *
   * RANK-IDENTITY CONTRACT (SURVEY.md §7.4): the final ranking order is
   * (score rounded to Bm25.Scale DESC, doc_id ASC) — identical to the SQL
@@ -13,29 +16,162 @@ package graft.query
   * bound is strictly below the smallest raw score that could still round
   * into (or tie) the current top-k. This keeps skipping safe even for
   * rounded-score ties that are later broken by doc_id.
+  *
+  * Postings are consumed through [[PostingCursor]]: the production
+  * implementation ([[LazyBlockList]]) decodes blocks ON DEMAND, so WAND
+  * skipping saves decompression work, not just score arithmetic — the
+  * property that matters when a stop-word list is gigabytes long.
   */
 object Wand {
 
-  /** One query term's decoded posting list within one cluster.
-    *
-    * @param contribs  qtf-weighted exact BM25 contribution per posting
-    * @param blockStarts index of the first posting of each block
-    * @param blockMaxes  qtf-weighted block-max contribution per block
-    */
+  /** Random-access view of one query term's posting list in one cluster. */
+  trait PostingCursor {
+    def length: Int
+    def doc(i: Int): Long
+    def contrib(i: Int): Double
+
+    /** index of the block containing posting index i */
+    def blockOf(i: Int): Int
+
+    /** weighted (idf × qtf) block-max of block b */
+    def blockMax(b: Int): Double
+
+    /** weighted upper bound over the whole list */
+    def termUB: Double
+
+    /** first index >= pos whose doc >= target (== length if none) */
+    def seek(pos: Int, target: Long): Int
+  }
+
+  /** Fully-decoded cursor (tests / tiny lists). */
   final class TermList(
       val docs: Array[Long],
       val contribs: Array[Double],
       val blockStarts: Array[Int],
-      val blockMaxes: Array[Double]) {
+      val blockMaxes: Array[Double]) extends PostingCursor {
     require(docs.length == contribs.length)
-    val termUB: Double = if (blockMaxes.isEmpty) 0.0 else blockMaxes.max
-
-    /** Index of the block containing posting index `i`. */
-    def blockOf(i: Int): Int = {
+    override val termUB: Double =
+      if (blockMaxes.isEmpty) 0.0 else blockMaxes.max
+    override def length: Int = docs.length
+    override def doc(i: Int): Long = docs(i)
+    override def contrib(i: Int): Double = contribs(i)
+    override def blockOf(i: Int): Int = {
       var b = java.util.Arrays.binarySearch(blockStarts, i)
       if (b < 0) b = -b - 2
       b
     }
+    override def blockMax(b: Int): Double = blockMaxes(b)
+    override def seek(pos: Int, target: Long): Int = {
+      var l = pos
+      if (l >= docs.length || docs(l) >= target) return l
+      var step = 1
+      var h = l + 1
+      while (h < docs.length && docs(h) < target) { l = h; h = l + step; step <<= 1 }
+      if (h > docs.length) h = docs.length
+      while (l < h) {
+        val m = (l + h) >>> 1
+        if (docs(m) < target) l = m + 1 else h = m
+      }
+      l
+    }
+  }
+
+  /** Lazily-decoded cursor over compressed blocks (sorted by first_doc,
+    * disjoint doc ranges — guaranteed by the build's range
+    * partitioning). A block is decompressed the first time a posting
+    * inside it is touched; `seek` navigates block METADATA
+    * (first_doc/last_doc) without decoding skipped blocks.
+    *
+    * @param weight idf × qtf — applied to contribs and block maxes
+    */
+  final class LazyBlockList(
+      blocks: Array[PostingBlock],
+      weight: Double,
+      idf: Double,
+      avgdl: Double) extends PostingCursor {
+    private val starts: Array[Int] = {
+      val s = new Array[Int](blocks.length)
+      var acc = 0
+      var i = 0
+      while (i < blocks.length) { s(i) = acc; acc += blocks(i).count; i += 1 }
+      s
+    }
+    override val length: Int =
+      if (blocks.isEmpty) 0 else starts(blocks.length - 1) + blocks.last.count
+    private val maxes: Array[Double] = blocks.map(_.block_max * idf * weight)
+    override val termUB: Double = if (maxes.isEmpty) 0.0 else maxes.max
+
+    private val docsDec = new Array[Array[Long]](blocks.length)
+    private val contribsDec = new Array[Array[Double]](blocks.length)
+
+    /** number of blocks actually decompressed (observability + tests) */
+    var decodedBlocks: Int = 0
+
+    private def ensure(b: Int): Unit = if (docsDec(b) == null) {
+      val (ds, tfs, dls) = PostingCodec.decodeDocsTfsDls(blocks(b))
+      val cs = new Array[Double](ds.length)
+      var i = 0
+      while (i < ds.length) {
+        cs(i) = weight * Bm25.contrib(idf, tfs(i).toLong, dls(i).toLong, avgdl)
+        i += 1
+      }
+      docsDec(b) = ds
+      contribsDec(b) = cs
+      decodedBlocks += 1
+    }
+
+    override def blockOf(i: Int): Int = {
+      var b = java.util.Arrays.binarySearch(starts, i)
+      if (b < 0) b = -b - 2
+      b
+    }
+    override def blockMax(b: Int): Double = maxes(b)
+    override def doc(i: Int): Long = {
+      val b = blockOf(i)
+      ensure(b)
+      docsDec(b)(i - starts(b))
+    }
+    override def contrib(i: Int): Double = {
+      val b = blockOf(i)
+      ensure(b)
+      contribsDec(b)(i - starts(b))
+    }
+    override def seek(pos: Int, target: Long): Int = {
+      if (pos >= length) return length
+      // block-level navigation on metadata only
+      var b = blockOf(pos)
+      if (blocks(b).last_doc < target) {
+        b += 1
+        while (b < blocks.length && blocks(b).last_doc < target) b += 1
+        if (b >= blocks.length) return length
+        if (blocks(b).first_doc >= target) return starts(b)
+      }
+      // in-block binary search (decodes exactly this block)
+      ensure(b)
+      val ds = docsDec(b)
+      var l = math.max(pos - starts(b), 0)
+      var h = ds.length
+      while (l < h) {
+        val m = (l + h) >>> 1
+        if (ds(m) < target) l = m + 1 else h = m
+      }
+      if (l >= ds.length) {
+        // target beyond this block but <= last_doc cannot happen
+        // (last_doc < target was handled); defensive
+        starts(b) + ds.length
+      } else starts(b) + l
+    }
+  }
+
+  /** qtf > 1 view over a shared cursor (decode cache stays shared). */
+  final class WeightedCursor(base: PostingCursor, w: Double) extends PostingCursor {
+    override def length: Int = base.length
+    override def doc(i: Int): Long = base.doc(i)
+    override def contrib(i: Int): Double = base.contrib(i) * w
+    override def blockOf(i: Int): Int = base.blockOf(i)
+    override def blockMax(b: Int): Double = base.blockMax(b) * w
+    override val termUB: Double = base.termUB * w
+    override def seek(pos: Int, target: Long): Int = base.seek(pos, target)
   }
 
   final case class Hit(docId: Long, score: Double) // score already rounded
@@ -54,16 +190,16 @@ object Wand {
   /** Exhaustive reference scorer (term-at-a-time accumulation) — used by
     * tests to validate WAND and by callers who want no skipping.
     */
-  def bruteForceTopK(lists: Array[TermList], k: Int,
+  def bruteForceTopK(lists: Array[_ <: PostingCursor], k: Int,
       excluded: Long => Boolean = _ => false): Array[Hit] = {
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     lists.foreach { l =>
       var i = 0
-      while (i < l.docs.length) {
-        val key = java.lang.Long.valueOf(l.docs(i))
+      while (i < l.length) {
+        val key = java.lang.Long.valueOf(l.doc(i))
         val prev = acc.get(key)
         acc.put(key,
-          if (prev == null) l.contribs(i) else prev.doubleValue + l.contribs(i))
+          if (prev == null) l.contrib(i) else prev.doubleValue + l.contrib(i))
         i += 1
       }
     }
@@ -79,9 +215,10 @@ object Wand {
   /** Block-max WAND top-k over one cluster's term lists. `excluded`
     * filters tombstoned docs BEFORE they can occupy a top-k slot.
     */
-  def topK(listsIn: Array[TermList], k: Int,
+  def topK(listsIn: Array[_ <: PostingCursor], k: Int,
       excluded: Long => Boolean = _ => false): Array[Hit] = {
-    val lists = listsIn.filter(_.docs.nonEmpty)
+    val lists: Array[PostingCursor] =
+      listsIn.filter(_.length > 0).toArray
     if (lists.isEmpty || k <= 0) return Array.empty
 
     // bounded heap ordered worst-first: (rounded asc, docId desc) — the
@@ -108,13 +245,11 @@ object Wand {
 
     val n = lists.length
     val pos = new Array[Int](n) // cursor per list
-    // `order` holds list indices sorted by current doc; exhausted at end
     val order = Array.tabulate(n)(identity)
     def doc(li: Int): Long =
-      if (pos(li) >= lists(li).docs.length) Long.MaxValue
-      else lists(li).docs(pos(li))
+      if (pos(li) >= lists(li).length) Long.MaxValue
+      else lists(li).doc(pos(li))
     def sortOrder(): Unit = {
-      // n is tiny (#query terms); insertion sort by current doc
       var i = 1
       while (i < n) {
         val v = order(i)
@@ -125,33 +260,17 @@ object Wand {
         i += 1
       }
     }
-    /** advance list li to first doc >= target (gallop + binary search) */
-    def seek(li: Int, target: Long): Unit = {
-      val ds = lists(li).docs
-      var l = pos(li)
-      if (l >= ds.length || ds(l) >= target) return
-      var step = 1
-      var h = l + 1
-      while (h < ds.length && ds(h) < target) { l = h; h = l + step; step <<= 1 }
-      if (h > ds.length) h = ds.length
-      while (l < h) {
-        val m = (l + h) >>> 1
-        if (ds(m) < target) l = m + 1 else h = m
-      }
-      pos(li) = l
-    }
 
     var continue = true
     while (continue) {
       sortOrder()
       val th = theta
-      // pivot: first prefix whose term-UB sum could reach the threshold
       var acc = 0.0
       var pivot = -1
       var i = 0
       while (i < n && pivot == -1) {
         val li = order(i)
-        if (doc(li) == Long.MaxValue) { i = n } // all remaining exhausted
+        if (doc(li) == Long.MaxValue) { i = n }
         else {
           acc += lists(li).termUB
           if (acc >= th || th == Double.NegativeInfinity) pivot = i
@@ -163,21 +282,19 @@ object Wand {
         val pivotDoc = doc(order(pivot))
         if (pivotDoc == Long.MaxValue) continue = false
         else if (doc(order(0)) == pivotDoc) {
-          // block-max check: exact UB of pivotDoc from current blocks.
-          // MUST scan ALL lists (not just 0..pivot): lists after the
-          // pivot can sit on the same doc and add contribution.
+          // block-max check over ALL lists sitting on pivotDoc (lists
+          // after the pivot can share the doc and add contribution)
           var bmSum = 0.0
           var j = 0
           while (j < n) {
             val li = order(j)
             if (doc(li) == pivotDoc) {
               val l = lists(li)
-              bmSum += l.blockMaxes(l.blockOf(pos(li)))
+              bmSum += l.blockMax(l.blockOf(pos(li)))
             }
             j += 1
           }
           if (bmSum < th) {
-            // cannot qualify: advance all cursors sitting on pivotDoc
             var j2 = 0
             while (j2 < n) {
               val li = order(j2)
@@ -185,12 +302,11 @@ object Wand {
               j2 += 1
             }
           } else {
-            // full score
             var s = 0.0
             var j2 = 0
             while (j2 < n) {
               val li = order(j2)
-              if (doc(li) == pivotDoc) { s += lists(li).contribs(pos(li)); pos(li) += 1 }
+              if (doc(li) == pivotDoc) { s += lists(li).contrib(pos(li)); pos(li) += 1 }
               j2 += 1
             }
             if (!excluded(pivotDoc)) offer(pivotDoc, s)
@@ -207,8 +323,8 @@ object Wand {
             }
             j += 1
           }
-          if (bestLi == -1) continue = false // defensive; shouldn't happen
-          else seek(bestLi, pivotDoc)
+          if (bestLi == -1) continue = false
+          else pos(bestLi) = lists(bestLi).seek(pos(bestLi), pivotDoc)
         }
       }
     }

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.query.Wand
+import graft.query.{Bm25, Wand}
 import graft.query.Wand.TermList
 
 /** Property: WAND top-k == brute-force top-k under the final total order
@@ -65,6 +65,51 @@ class WandSpec extends AnyFunSuite {
   }
 
   test("empty lists") {
-    assert(Wand.topK(Array.empty, 5).isEmpty)
+    assert(Wand.topK(Array.empty[TermList], 5).isEmpty)
+  }
+
+  /** Lazy block cursor over real encoded blocks == eager cursor. */
+  test("property: LazyBlockList == eager TermList results; skipping saves decodes") {
+    import graft.codec.{PostingCodec, PostingEntry}
+    val gen = for {
+      docs <- Gen.listOf(Gen.chooseNum(0L, 5000L)).map(_.distinct.sorted)
+        .suchThat(_.nonEmpty)
+      k <- Gen.chooseNum(1, 8)
+    } yield (docs, k)
+    check(Prop.forAll(gen) { case (docs, k) =>
+      val entries = docs.zipWithIndex.map { case (d, i) =>
+        PostingEntry(d, (i % 7) + 1, (i % 40) + 5, Array.empty[Int])
+      }
+      val avgdl = 20.0
+      val idf = 1.7
+      val blocks = PostingCodec
+        .encodeTerm("t", 0, 0, entries, (tf, dl) => Bm25.g(tf, dl, avgdl))
+        .toArray
+      val lazyList = new Wand.LazyBlockList(blocks, 1.0, idf, avgdl)
+      val eager = {
+        val ds = entries.map(_.doc).toArray
+        val cs = entries.map(e =>
+          Bm25.contrib(idf, e.tf.toLong, e.dl.toLong, avgdl)).toArray
+        val starts = ds.indices.by(PostingCodec.BlockSize).toArray
+        val maxes = blocks.map(_.block_max * idf)
+        new TermList(ds, cs, starts, maxes)
+      }
+      Wand.topK(Array(lazyList), k).toList ==
+        Wand.topK(Array[Wand.PostingCursor](eager), k).toList
+    })
+  }
+
+  test("lazy cursor: seek over block metadata skips decoding") {
+    import graft.codec.{PostingCodec, PostingEntry}
+    // 10 blocks of 128 postings
+    val entries = (0L until 1280L).map(d => PostingEntry(d, 1, 10, Array.empty[Int]))
+    val blocks = PostingCodec
+      .encodeTerm("t", 0, 0, entries, (tf, dl) => Bm25.g(tf, dl, 10.0)).toArray
+    assert(blocks.length == 10)
+    val c = new Wand.LazyBlockList(blocks, 1.0, 1.0, 10.0)
+    // seek deep into the list: only the landing block decodes
+    val i = c.seek(0, 1275L)
+    assert(c.doc(i) == 1275L)
+    assert(c.decodedBlocks <= 1, s"decoded ${c.decodedBlocks} blocks")
   }
 }
