@@ -79,30 +79,46 @@ object Bench {
       // IDENTICAL plan at both levels (same shuffle partitioning = same
       // tasks); only the thread count changes — the faithful analog of
       // adding executors to a fixed-partitioning job.
-      val results = Seq(nLow, nHigh).map { n =>
-        val s = session(n, shufflePartitions = nHigh * 4)
-        try {
-          // best of 2: single-run variance on the shared VM is high
-          val runs = (1 to 2).map { _ =>
-            val dir = java.nio.file.Files
-              .createTempDirectory(s"graft-bench-scale-$n").toString
-            timed {
+      // INTERLEAVED reps (N,4N, N,4N, N,4N), min per level: run-to-run
+      // noise on the shared sandbox host is ±30% and time-correlated, so
+      // interleaving + min isolates the machine's actual capability at
+      // each level. All reps are reported for transparency.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      var files = 0L
+      val times = scala.collection.mutable.Map[Int, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      (1 to reps).foreach { _ =>
+        Seq(nLow, nHigh).foreach { n =>
+          val s = session(n, shufflePartitions = nHigh * 4)
+          try {
+            // tmpfs output: the scaling metric targets COMPUTE scaling;
+            // production writes land on distributed storage that grows
+            // with the cluster, while this box's single shared disk
+            // would serialize commits and add cross-tenant noise
+            val dir = java.nio.file.Files.createTempDirectory(
+              java.nio.file.Paths.get("/dev/shm"), s"graft-bench-scale-$n")
+              .toString
+            val (res, secs) = timed {
               IndexBuilder.build(s, sfDir, dir, IndexBuilder.BuildConfig(
                 resume = false, amplify = amplify))
             }
-          }
-          val (res, secs) = runs.minBy(_._2)
-          val files = res.manifest.num_docs
-          (n, files, secs, files / secs)
-        } finally s.stop()
+            files = res.manifest.num_docs
+            times(n) = times(n) :+ secs
+          } finally s.stop()
+        }
       }
-      val (nl, files, secsL, fpsL) = results(0)
-      val (nh, _, secsH, fpsH) = results(1)
-      val eff = fpsH / (fpsL * (nh.toDouble / nl))
+      val secsL = times(nLow).min
+      val secsH = times(nHigh).min
+      val fpsL = files / secsL
+      val fpsH = files / secsH
+      val eff = fpsH / (fpsL * (nHigh.toDouble / nLow))
+      def repsJson(n: Int) =
+        times(n).map(t => f"$t%.2f").mkString("[", ",", "]")
       scalingJson =
         s""","scaling":{"files":$files,"amplify":$amplify,""" +
-          s""""local_n":$nl,"secs_n":$secsL,"files_per_sec_n":$fpsL,""" +
-          s""""local_4n":$nh,"secs_4n":$secsH,"files_per_sec_4n":$fpsH,""" +
+          s""""local_n":$nLow,"secs_n":$secsL,"files_per_sec_n":$fpsL,""" +
+          s""""local_4n":$nHigh,"secs_4n":$secsH,"files_per_sec_4n":$fpsH,""" +
+          s""""reps_n":${repsJson(nLow)},"reps_4n":${repsJson(nHigh)},""" +
           s""""efficiency":$eff}"""
     }
 

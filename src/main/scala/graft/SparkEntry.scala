@@ -192,7 +192,20 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(
         s, graft.ops.Multimodal.assets(s, dir))
         .select("asset_id", "kind", "n_bytes", "n_frames", "checksum")
-        .orderBy("asset_id")))
+        .orderBy("asset_id")),
+
+    // Tumbling-window event aggregation + JSON prop extraction — the
+    // batch twin of the streaming windowed agg (same plan shape under
+    // readStream + watermark, see StreamingAppendSpec).
+    "q_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("total"),
+          countDistinct(get_json_object(col("props"), "$.k")).as("distinct_k"))
+        .select(col("w.start").as("wstart"), col("event_type"),
+          col("n"), col("total"), col("distinct_k"))
+        .orderBy("wstart", "event_type")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -294,7 +307,13 @@ object SparkEntry {
          |SELECT asset_id, doc_id, kind, width, sample_rate,
          |       CAST(octet_length(encode(src)) AS INTEGER) AS n_bytes,
          |       sha256(src) AS payload_src_sha
-         |FROM assets ORDER BY asset_id""".stripMargin)
+         |FROM assets ORDER BY asset_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS total,
+        |       count(DISTINCT json_extract_string(props, '$.k')) AS distinct_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** DuckDB row_number() is BIGINT; Spark's is INT. Wrap to align. */
   private def duckRankCast(sql: String): String =

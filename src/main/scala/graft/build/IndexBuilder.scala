@@ -127,8 +127,10 @@ object IndexBuilder {
       val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
       // kmeans fits driver-locally on a deterministic doc_id-strided
       // sample (at real scale you never run Lloyd's over the full
-      // corpus); assignment below still covers every doc.
-      val fitStep = math.max(1L, n / 20000)
+      // corpus); assignment below still covers every doc. The sample is
+      // capped at 10k: the fit is a SERIAL driver cost, and a
+      // partitioning signal does not improve past that.
+      val fitStep = math.max(1L, n / 10000)
       val sample = docs
         .filter(col("doc_id") % fitStep === 0)
         .select("doc_id", "feat")

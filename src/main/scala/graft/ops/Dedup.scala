@@ -217,8 +217,9 @@ object Dedup {
     * (O(n²) small-corpus form; band the fingerprint at scale).
     */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = simhash(spark, docs)
-    fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+    val fp = simhash(spark, docs).cache()
+    val x = fp.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    x.as("x").join(broadcast(fp).as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming",
         bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))))
       .filter(col("hamming") <= maxHamming)
@@ -258,13 +259,37 @@ object Dedup {
   // embedding-cosine near-dup
   // ------------------------------------------------------------------
 
-  /** Embedding near-dup pairs: cosine similarity >= threshold. */
+  /** Embedding near-dup pairs: cosine similarity >= threshold.
+    *
+    * Norms are precomputed in one pass; the pairwise dot product runs as
+    * a tight-loop Scala UDF — Catalyst's higher-order functions
+    * (zip_with/aggregate) are interpreted per element and ~50× slower on
+    * the O(n²) pair join. (At real scale, LSH-bucket the vectors first —
+    * see the IVF path — so the pair join never goes quadratic.)
+    */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val norm = udf { (v: Seq[Double]) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val dot = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val spark = embeddings.sparkSession
+    val e = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("n", norm(col("e")))
+    // the pair join is a broadcast nested-loop: its parallelism equals
+    // the STREAM side's partition count (a single small parquet file =
+    // one task); spread it explicitly
+    val x = e.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    x.as("x").join(broadcast(e).as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos",
-        round(Similarity.cosine(col("x.e"), col("y.e")), 4))
+        round(dot(col("x.e"), col("y.e")) / (col("x.n") * col("y.n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
