@@ -19,8 +19,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_bm25_flagship")(spark, "/root/testdata/sf0.001")
 
+  // Per-JVM cache: a dozen queries re-derive the same corpus otherwise.
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Corpus.docs(s, dir)
+    docsCache.getOrElseUpdate(dir,
+      Corpus.docs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,12 +118,13 @@ object Corpus {
       src: DataFrame,
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
       idOffset: Long = 0L): DataFrame = {
-    import graft.tokenize.Tokenizer
-    val docLenUdf = udf((c: String) => Tokenizer.countTokens(c))
     withDenseId(src, idOrder, "doc_id")
       .withColumn("doc_id", col("doc_id") + idOffset)
       .withColumn("content_sha", sha2(col("content"), 256))
-      .withColumn("doc_len", docLenUdf(col("content")))
+      // native Catalyst expression (whole-stage codegen, reads
+      // UTF8String bytes in place) — the hottest per-row scalar
+      .withColumn("doc_len",
+        graft.functions.TokenCountExpr.tokenCount(col("content")))
       .select("doc_id", "repo", "path", "commit", "lang", "content",
         "content_sha", "doc_len")
   }

@@ -41,6 +41,31 @@ class CorpusSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: TokenCountExpr == pure countTokens; stays in codegen") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '_', '.', ';', '\n'),
+      1 -> Gen.choose(128.toChar, 0x3000.toChar))).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(20, strGen)) { strs =>
+      val got = strs.toDF("c")
+        .select(graft.functions.TokenCountExpr.tokenCount(col("c")))
+        .collect().map(_.getInt(0)).toList
+      got == strs.map(Tokenizer.countTokens)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    // whole-stage codegen over a real scan, no ScalaUDF in the plan
+    val plan = Corpus.documents(spark, sf0001)
+      .select(graft.functions.TokenCountExpr.tokenCount(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(1)" prefixes are the whole-stage-codegen markers
+    assert(plan.contains("*(1) Project [tokencountexpr"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("dense docIDs are 0..n-1 with no gaps, ordered by (repo,path,commit)") {
     val d = Corpus.docs(spark, sf0001).cache()
     val n = d.count()
