@@ -125,34 +125,45 @@ object PostingCodec {
       encodeBlock(term, clusterId, segmentId, i, grp, contrib)
     }.toSeq
 
+  /** Decode a docID column from its gap bytes. */
+  def decodeDocs(n: Int, firstDoc: Long, gaps: Array[Byte]): Array[Long] = {
+    val gs = VarInt.readN(gaps, n)
+    val docs = new Array[Long](n)
+    var prev = firstDoc
+    var i = 0
+    while (i < n) { prev += gs(i); docs(i) = prev; i += 1 }
+    docs
+  }
+
   /** Decode docIds + tfs + dls (the scorer's hot path — positions
     * untouched).
     */
-  def decodeDocsTfsDls(block: PostingBlock): (Array[Long], Array[Int], Array[Int]) = {
-    val n = block.count
-    val gaps = VarInt.readN(block.doc_gaps, n)
-    val docs = new Array[Long](n)
-    var prev = block.first_doc
-    var i = 0
-    while (i < n) { prev += gaps(i); docs(i) = prev; i += 1 }
-    val tfs = VarInt.readN(block.tfs, n).map(_.toInt)
-    val dls = VarInt.readN(block.dls, n).map(_.toInt)
-    (docs, tfs, dls)
-  }
+  def decodeDocsTfsDls(n: Int, firstDoc: Long, gaps: Array[Byte],
+      tfs: Array[Byte], dls: Array[Byte]): (Array[Long], Array[Int], Array[Int]) =
+    (decodeDocs(n, firstDoc, gaps),
+      VarInt.readN(tfs, n).map(_.toInt),
+      VarInt.readN(dls, n).map(_.toInt))
+
+  def decodeDocsTfsDls(block: PostingBlock): (Array[Long], Array[Int], Array[Int]) =
+    decodeDocsTfsDls(block.count, block.first_doc, block.doc_gaps,
+      block.tfs, block.dls)
 
   /** Decode per-posting position arrays (phrase-query path). */
-  def decodePositions(block: PostingBlock): Array[Array[Int]] = {
-    val out = new Array[Array[Int]](block.count)
+  def decodePositions(block: PostingBlock): Array[Array[Int]] =
+    decodePositionsRaw(block.count, block.positions)
+
+  def decodePositionsRaw(count: Int, positions: Array[Byte]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](count)
     var p = 0
     var i = 0
-    while (i < block.count) {
-      val (n, np) = VarInt.read(block.positions, p)
+    while (i < count) {
+      val (n, np) = VarInt.read(positions, p)
       p = np
       val ps = new Array[Int](n.toInt)
       var prev = 0L
       var j = 0
       while (j < n) {
-        val (gap, np2) = VarInt.read(block.positions, p)
+        val (gap, np2) = VarInt.read(positions, p)
         prev += gap
         ps(j) = prev.toInt
         p = np2

@@ -78,6 +78,30 @@ case class PostingBlock(
 /** Dictionary entry: document frequency, collection frequency, idf. */
 case class DictEntry(term: String, df: Long, cf: Long, idf: Double)
 
+/** Projection of PostingBlock read by the BM25 scorer — drops the
+  * positions payload (the heaviest column) so Parquet column pruning
+  * keeps it out of the scan entirely.
+  */
+case class ScorerBlock(
+    term: String,
+    cluster_id: Int,
+    first_doc: Long,
+    last_doc: Long,
+    count: Int,
+    block_max: Double,
+    doc_gaps: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte])
+
+/** Projection read by phrase search — positions but no tfs/dls/maxes. */
+case class PhraseBlock(
+    term: String,
+    cluster_id: Int,
+    first_doc: Long,
+    count: Int,
+    doc_gaps: Array[Byte],
+    positions: Array[Byte])
+
 /** Per-cluster-partition build lineage + metrics (north_rule: postings/sec
   * and bytes/posting logged per segment, per-partition lineage).
   */

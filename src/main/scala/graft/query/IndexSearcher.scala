@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.build.ManifestIO
 import graft.cluster.CoarseClusterer
-import graft.model.PostingBlock
+import graft.model.ScorerBlock
 
 /** Index-backed top-k BM25 — entry point 2 of the reference
   * (`knn_search`, /root/reference/src/index.jl:204-258) re-expressed as
@@ -95,11 +95,15 @@ object IndexSearcher {
     // Postings scan: cluster_id is the partition column (partition
     // pruning), term is a sorted data column (row-group + dictionary
     // pushdown). One shuffle co-locates each cluster's blocks.
+    // explicit projection → Parquet column pruning drops the positions
+    // payload (the heaviest column) from the scan entirely
     val blocks = spark.read
       .parquet(s"$indexDir/postings")
       .filter(col("cluster_id").isin(allClusters: _*) &&
         col("term").isin(allTerms: _*))
-      .as[PostingBlock]
+      .select("term", "cluster_id", "first_doc", "last_doc", "count",
+        "block_max", "doc_gaps", "tfs", "dls")
+      .as[ScorerBlock]
 
     val localHits = blocks
       .repartition(col("cluster_id"))

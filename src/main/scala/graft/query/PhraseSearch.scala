@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.build.ManifestIO
 import graft.codec.PostingCodec
-import graft.model.PostingBlock
+import graft.model.PhraseBlock
 
 /** Exact phrase search over the index's position payloads — the operator
   * that justifies storing `positions` in the posting blocks (north_star:
@@ -35,10 +35,13 @@ object PhraseSearch {
     val tombstones = spark.sparkContext.broadcast(
       graft.maintain.Maintenance.loadTombstones(indexDir))
 
+    // projection: positions but no tfs/dls/block_max (column pruning)
     val blocks = spark.read
       .parquet(s"$indexDir/postings")
       .filter(col("term").isin(terms: _*))
-      .as[PostingBlock]
+      .select("term", "cluster_id", "first_doc", "count", "doc_gaps",
+        "positions")
+      .as[PhraseBlock]
 
     blocks
       .repartition(col("cluster_id"))
@@ -50,8 +53,10 @@ object PhraseSearch {
           byClusterTerm.map { case (key, bs) =>
             val sorted = bs.sortBy(_.first_doc)
             val docs = sorted.flatMap(b =>
-              PostingCodec.decodeDocsTfsDls(b)._1).toArray
-            val pos = sorted.flatMap(PostingCodec.decodePositions).toArray
+              PostingCodec.decodeDocs(b.count, b.first_doc, b.doc_gaps))
+              .toArray
+            val pos = sorted.flatMap(b =>
+              PostingCodec.decodePositionsRaw(b.count, b.positions)).toArray
             key -> (docs, pos)
           }
         val clusters = decoded.keySet.map(_._1)

@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.codec.PostingCodec
-import graft.model.PostingBlock
+import graft.model.ScorerBlock
 
 /** Document-at-a-time WAND top-k with block-max skipping (Broder et al.
   * 2003; Ding & Suel 2011) — the graft analog of the reference's
@@ -85,7 +85,7 @@ object Wand {
     * @param weight idf × qtf — applied to contribs and block maxes
     */
   final class LazyBlockList(
-      blocks: Array[PostingBlock],
+      blocks: Array[ScorerBlock],
       weight: Double,
       idf: Double,
       avgdl: Double) extends PostingCursor {
@@ -108,7 +108,9 @@ object Wand {
     var decodedBlocks: Int = 0
 
     private def ensure(b: Int): Unit = if (docsDec(b) == null) {
-      val (ds, tfs, dls) = PostingCodec.decodeDocsTfsDls(blocks(b))
+      val blk = blocks(b)
+      val (ds, tfs, dls) = PostingCodec.decodeDocsTfsDls(
+        blk.count, blk.first_doc, blk.doc_gaps, blk.tfs, blk.dls)
       val cs = new Array[Double](ds.length)
       var i = 0
       while (i < ds.length) {

@@ -84,6 +84,8 @@ class WandSpec extends AnyFunSuite {
       val idf = 1.7
       val blocks = PostingCodec
         .encodeTerm("t", 0, 0, entries, (tf, dl) => Bm25.g(tf, dl, avgdl))
+        .map(b => graft.model.ScorerBlock(b.term, b.cluster_id, b.first_doc,
+          b.last_doc, b.count, b.block_max, b.doc_gaps, b.tfs, b.dls))
         .toArray
       val lazyList = new Wand.LazyBlockList(blocks, 1.0, idf, avgdl)
       val eager = {
@@ -104,7 +106,10 @@ class WandSpec extends AnyFunSuite {
     // 10 blocks of 128 postings
     val entries = (0L until 1280L).map(d => PostingEntry(d, 1, 10, Array.empty[Int]))
     val blocks = PostingCodec
-      .encodeTerm("t", 0, 0, entries, (tf, dl) => Bm25.g(tf, dl, 10.0)).toArray
+      .encodeTerm("t", 0, 0, entries, (tf, dl) => Bm25.g(tf, dl, 10.0))
+      .map(b => graft.model.ScorerBlock(b.term, b.cluster_id, b.first_doc,
+        b.last_doc, b.count, b.block_max, b.doc_gaps, b.tfs, b.dls))
+      .toArray
     assert(blocks.length == 10)
     val c = new Wand.LazyBlockList(blocks, 1.0, 1.0, 10.0)
     // seek deep into the list: only the landing block decodes
