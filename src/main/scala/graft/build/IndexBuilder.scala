@@ -55,7 +55,14 @@ object IndexBuilder {
       kc: Int = 0, // 0 = auto (CoarseClusterer.pickKc)
       saltBuckets: Int = 16,
       resume: Boolean = true,
-      amplify: Int = 1) // bench-only deterministic corpus blow-up
+      amplify: Int = 1, // bench-only deterministic corpus blow-up
+      postingsBatches: Int = 4) // per-partition resume granularity
+
+  /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
+  def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
+    val per = math.max(1, math.ceil(kc.toDouble / nBatches).toInt)
+    (0 until kc).grouped(per).map(_.toSeq).toSeq
+  }
 
   case class BuildResult(
       manifest: IndexManifest,
@@ -156,18 +163,55 @@ object IndexBuilder {
     // BM25 factorizes as idf × g(tf, dl): blocks store the idf-free
     // g-max, so NO dictionary join is needed here, and the dictionary
     // (step 3) aggregates from block metadata — one tokenize pass total.
+    // Per-PARTITION resumability (north_rule): clusters are built in
+    // batches; each batch reads only its clusters' docstore partitions
+    // (partition pruning), writes its posting partitions, and commits a
+    // marker. A crashed build resumes at the first unfinished batch,
+    // first wiping that batch's partial partition dirs.
     step("postings") {
       val avgdl = loadStats(indexDir).avgdl
-      val (blocks, acc) = encodeBlocks(spark, docstore, avgdl, 0)
-      blocks.write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(s"$indexDir/postings")
-      // segment metrics observed during the job
-      val segs = {
-        import scala.jdk.CollectionConverters._
-        acc.value.asScala.toSeq.sortBy(_.segment_id)
+      val kc = loadCentroids(indexDir).length
+      val batches = clusterBatches(kc, cfg.postingsBatches)
+      if (!cfg.resume) {
+        // fresh build: wipe all posting partitions + batch markers (a
+        // reused dir may hold state from a different kc)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$indexDir/postings"))
+        val ck = new java.io.File(s"$indexDir/_checkpoints")
+        if (ck.isDirectory) ck.listFiles()
+          .filter(_.getName.startsWith("postings_batch_"))
+          .foreach(_.delete())
+        saveSegments(indexDir, Seq.empty)
       }
-      saveSegments(indexDir, segs)
+      var segOffset = 0
+      batches.zipWithIndex.foreach { case (clusters, bi) =>
+        val marker = s"postings_batch_$bi"
+        if (cfg.resume && isDone(indexDir, marker)) {
+          skip :+= marker
+          segOffset += 10000 // keep segment ids disjoint across batches
+        } else {
+          // wipe partial output of this batch (idempotent restart)
+          clusters.foreach { cid =>
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$indexDir/postings/cluster_id=$cid"))
+          }
+          val slice = docstore
+            .filter(col("cluster_id").isin(clusters: _*))
+          val (blocks, acc) = encodeBlocks(spark, slice, avgdl, segOffset)
+          blocks.write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(s"$indexDir/postings")
+          val segs = {
+            import scala.jdk.CollectionConverters._
+            acc.value.asScala.toSeq.sortBy(_.segment_id)
+          }
+          appendSegments(indexDir, segs, segOffset, segOffset + 10000)
+          markDone(indexDir, marker,
+            s"input=$sfDir clusters=${clusters.mkString(",")}")
+          run :+= marker
+          segOffset += 10000
+        }
+      }
     }
 
     // ---- step 3: dictionary (df/cf/idf from block metadata) ------------
@@ -370,6 +414,17 @@ object IndexBuilder {
     val p = Paths.get(indexDir, "_checkpoints", "segments.json")
     Files.createDirectories(p.getParent)
     Files.write(p, mapper.writeValueAsBytes(segs.toArray))
+  }
+
+  /** Merge new segment metas into the checkpoint: a (re-)run batch
+    * replaces its ENTIRE segment-id range [from, until).
+    */
+  private def appendSegments(indexDir: String, segs: Seq[SegmentMeta],
+      from: Int, until: Int): Unit = {
+    val merged = (loadSegments(indexDir)
+      .filterNot(s => s.segment_id >= from && s.segment_id < until)
+      ++ segs).sortBy(_.segment_id)
+    saveSegments(indexDir, merged)
   }
 
   private def loadSegments(indexDir: String): Seq[SegmentMeta] = {

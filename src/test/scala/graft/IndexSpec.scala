@@ -66,6 +66,33 @@ class IndexSpec extends SparkSpec {
       Set("docstore", "dictionary", "postings", "manifest"))
   }
 
+  test("per-partition resume: only the damaged cluster batch is rebuilt") {
+    val dir = Files.createTempDirectory("graft-batch-resume").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(kc = 8, resume = false, postingsBatches = 4))
+    val before = IndexSearcher.topK(spark, dir, QuerySet.queries.take(5), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // simulate a crash mid-postings: batch 1 (clusters 2,3) incomplete
+    Files.delete(java.nio.file.Paths.get(dir, "_checkpoints", "postings.done"))
+    Files.delete(java.nio.file.Paths.get(dir, "_checkpoints", "postings_batch_1.done"))
+    Seq(2, 3).foreach { cid =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/postings/cluster_id=$cid"))
+    }
+
+    val res = IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(kc = 8, resume = true, postingsBatches = 4))
+    assert(res.stepsRun.toSet == Set("postings_batch_1", "postings"))
+    assert(res.stepsSkipped.toSet ==
+      Set("docstore", "postings_batch_0", "postings_batch_2",
+        "postings_batch_3", "dictionary", "manifest"))
+
+    val after = IndexSearcher.topK(spark, dir, QuerySet.queries.take(5), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("resume: deleting one checkpoint re-runs only that step") {
     ManifestIO.read(s"$indexDir/manifest.json")
     Files.delete(java.nio.file.Paths.get(indexDir, "_checkpoints", "manifest.done"))
