@@ -41,13 +41,13 @@ import graft.tokenize.Tokenizer
   *    ranges — the order-preserving equivalent of salting) and keeps each
   *    (cluster, term) posting run split into DISJOINT doc ranges, so the
   *    read side can concatenate block runs without a merge;
-  *  - the dictionary aggregation is two-phase salted (partial per
-  *    (term, salt), then final per term) per north_rule;
-  *  - the idf join onto postings is broadcast here (sandbox dictionary is
-  *    tiny); at real scale flip to a shuffle join — AQE skew-join
-  *    handles stop-word terms;
-  *  - resume: each step checks its checkpoint marker + input lineage and
-  *    is skipped when already complete.
+  *  - BM25 factorizes as idf × g(tf, dl), so posting encode needs no
+  *    dictionary join, and the dictionary aggregates from three tiny
+  *    block-metadata columns (map-side partial agg absorbs stop-word
+  *    keys — the effect explicit salting gives non-combinable aggs);
+  *  - resume: step-level checkpoint markers, plus PER-PARTITION batch
+  *    markers inside the postings step (cluster batches, partition-
+  *    pruned incremental rebuild).
   */
 object IndexBuilder {
 
@@ -56,7 +56,7 @@ object IndexBuilder {
       saltBuckets: Int = 16,
       resume: Boolean = true,
       amplify: Int = 1, // bench-only deterministic corpus blow-up
-      postingsBatches: Int = 4) // per-partition resume granularity
+      postingsBatches: Int = 2) // per-partition resume granularity (tests use 4)
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
