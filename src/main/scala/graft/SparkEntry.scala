@@ -169,6 +169,12 @@ object SparkEntry {
     // Per-language corpus token stats.
     "q_token_stats" -> ((s, dir) => graft.ops.TextStats.tokenStats(docs(s, dir))),
 
+    // Salted two-phase posting-list materialization (north_rule: skew
+    // handling for stop-word-heavy terms — the non-combinable list agg
+    // is the case map-side combine can't fix).
+    "q_posting_lists" -> ((s, dir) =>
+      graft.ops.SkewedAgg.termPostingLists(docs(s, dir), buckets = 16)),
+
     // Exact phrase search over the index's position payloads (the
     // operator that justifies storing positions in posting blocks).
     "q_phrase_2" -> ((s, dir) => {
@@ -289,6 +295,8 @@ object SparkEntry {
     "q_quality" -> graft.ops.TextStats.qualityOracleSql,
 
     "q_token_stats" -> graft.ops.TextStats.tokenStatsOracleSql,
+
+    "q_posting_lists" -> graft.ops.SkewedAgg.oracleSql,
 
     "q_phrase_2" -> graft.query.PhraseSearch.oracleSql(Seq("batch", "batch")),
 

@@ -53,7 +53,6 @@ object IndexBuilder {
 
   case class BuildConfig(
       kc: Int = 0, // 0 = auto (CoarseClusterer.pickKc)
-      saltBuckets: Int = 16,
       resume: Boolean = true,
       amplify: Int = 1, // bench-only deterministic corpus blow-up
       postingsBatches: Int = 2) // per-partition resume granularity (tests use 4)
