@@ -8,6 +8,43 @@ import graft.streaming.StreamingAppend
 
 class StreamingAppendSpec extends SparkSpec {
 
+  test("watermarked windowed aggregation over the events stream matches batch") {
+    import org.apache.spark.sql.functions._
+    val eventsFile = s"$sf0001/events.parquet"
+    // the file stream source needs a DIRECTORY; stage the single file
+    val eventsDir = Files.createTempDirectory("graft-events-stream").toString
+    Files.copy(java.nio.file.Paths.get(eventsFile),
+      java.nio.file.Paths.get(eventsDir, "events.parquet"))
+    val schema = spark.read.parquet(eventsFile).schema
+    val agg = spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      // parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (UTC session)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("ev_win")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ev_win")
+      .orderBy("wstart", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = spark.read.parquet(eventsFile)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("w.start"), col("event_type"), col("n"), col("total"))
+      .orderBy("start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("directory stream appends mini-segments; new docs become searchable") {
     import spark.implicits._
     val indexDir = Files.createTempDirectory("graft-stream-idx").toString
