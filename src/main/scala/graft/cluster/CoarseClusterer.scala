@@ -47,12 +47,14 @@ object CoarseClusterer {
     */
   val MaxIter = 5
 
-  /** kc heuristic: ~250 docs per cluster, clamped. At production scale
+  /** kc heuristic: ~250 docs per cluster, clamped to 32 — the fit is a
+    * serial driver cost linear in kc, and 32 partitions already give the
+    * probe knob plenty of pruning at sandbox scale. At production scale
     * this is a config (target docs-per-partition ≈ one Iceberg
     * partition), not a heuristic.
     */
   def pickKc(numDocs: Long): Int =
-    math.max(2, math.min(64, (numDocs / 250).toInt))
+    math.max(2, math.min(32, (numDocs / 250).toInt))
 
   /** Pure: hashed term-count feature of a token array. */
   def features(tokens: Iterable[String]): Array[Long] = {

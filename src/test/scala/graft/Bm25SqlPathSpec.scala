@@ -43,6 +43,10 @@ class Bm25SqlPathSpec extends SparkSpec {
     out.foreach { case (id, s) => assert(math.abs(s - exp(id)) < 1e-9, s"doc $id") }
   }
 
+  test("driver contract: SparkEntry.entry returns rows (smoke)") {
+    assert(SparkEntry.entry(spark).count() == 10)
+  }
+
   test("batch of 20 queries returns 10 ranked rows per query") {
     val out = Bm25SqlPath
       .topK(spark, Corpus.docs(spark, sf0001), QuerySet.queries, 10)
