@@ -55,7 +55,8 @@ object IndexBuilder {
       kc: Int = 0, // 0 = auto (CoarseClusterer.pickKc)
       resume: Boolean = true,
       amplify: Int = 1, // bench-only deterministic corpus blow-up
-      postingsBatches: Int = 2) // per-partition resume granularity (tests use 4)
+      postingsBatches: Int = 2, // per-partition resume granularity (tests use 4)
+      validateInput: Boolean = false) // B2-style key-uniqueness check (one extra job)
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
@@ -104,6 +105,20 @@ object IndexBuilder {
     import spark.implicits._
     val t0 = System.nanoTime()
     val sfDir = lineageName
+    // B2 analog (/root/reference/src/index.jl:115-125): config sanity is
+    // always checked; the key-uniqueness scan (docID determinism depends
+    // on unique idOrder keys) is opt-in because it costs one job.
+    require(cfg.kc == 0 || cfg.kc >= 2, s"kc must be >= 2, got ${cfg.kc}")
+    require(cfg.postingsBatches >= 1, "postingsBatches must be >= 1")
+    require(cfg.amplify >= 1, "amplify must be >= 1")
+    if (cfg.validateInput) {
+      val keyed = source.select(idOrder.map(col): _*)
+      val total = keyed.count()
+      val distinctKeys = keyed.distinct().count()
+      require(total == distinctKeys,
+        s"idOrder keys ${idOrder.mkString("(", ",", ")")} must be unique: " +
+          s"$total rows, $distinctKeys distinct")
+    }
     var run = Vector.empty[String]
     var skip = Vector.empty[String]
 

@@ -101,6 +101,23 @@ class IndexSpec extends SparkSpec {
     assert(res.stepsRun == Seq("manifest"))
   }
 
+  test("B2 validation: bad config and duplicate keys rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-validate").toString
+    intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, sf0001, dir,
+        IndexBuilder.BuildConfig(kc = 1, resume = false))
+    }
+    val dup = Seq(
+      ("r", "p", "c", "x", "one two"),
+      ("r", "p", "c", "x", "three four")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    intercept[IllegalArgumentException] {
+      IndexBuilder.buildFromSource(spark, dup, dir,
+        IndexBuilder.BuildConfig(resume = false, validateInput = true))
+    }
+  }
+
   test("docstore preserves content sha256 per row (input_hint invariant)") {
     val stored = spark.read.parquet(s"$indexDir/docstore")
       .select("doc_id", "content_sha")
