@@ -408,6 +408,13 @@ object IndexBuilder {
     Files.write(p, mapper.writeValueAsBytes(s))
   }
 
+  /** Maintenance hooks (segment merge refreshes these). */
+  def saveStatsPublic(indexDir: String, s: CorpusStats): Unit =
+    saveStats(indexDir, s)
+
+  def replaceSegments(indexDir: String, segs: Seq[SegmentMeta]): Unit =
+    saveSegments(indexDir, segs)
+
   def loadStats(indexDir: String): CorpusStats =
     mapper.readValue(
       Files.readAllBytes(Paths.get(indexDir, "_checkpoints", "stats.json")),

@@ -87,6 +87,82 @@ object Maintenance {
       manifest.lineage.source_dir)
   }
 
+  /** Segment merge (north_star: "merge partition-local segments into a
+    * global index") — the Lucene forceMerge analog: consolidates the
+    * fragmented blocks left by appends into minimal full blocks per
+    * (cluster, term), WITHOUT touching the docstore or docIDs. Also
+    * refreshes avgdl/idf exactly over the current corpus (append holds
+    * them stale by design). One postings-only job: no tokenize pass.
+    */
+  def mergeSegments(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    import graft.codec.PostingCodec
+    import graft.model.PostingBlock
+    import graft.query.Bm25
+
+    // exact refreshed stats (Long sums → deterministic)
+    val statsRow = spark.read.parquet(s"$indexDir/docstore")
+      .agg(count(lit(1)), sum(col("doc_len"))).head()
+    val n = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    val avgdl = sumDl.toDouble / n
+
+    val acc = spark.sparkContext
+      .collectionAccumulator[graft.build.SegmentMeta]("merged-segments")
+
+    val merged = spark.read.parquet(s"$indexDir/postings")
+      .as[PostingBlock]
+      .repartition(col("cluster_id"))
+      .mapPartitions { it =>
+        val segId = org.apache.spark.TaskContext.getPartitionId()
+        val tStart = System.nanoTime()
+        var nPostings = 0L
+        var nBlocks = 0L
+        var nBytes = 0L
+        val out = it.toSeq
+          .groupBy(b => (b.cluster_id, b.term))
+          .iterator
+          .flatMap { case ((cid, term), bs) =>
+            // runs are disjoint doc ranges: sort by first_doc, concat
+            val entries = bs.sortBy(_.first_doc)
+              .flatMap(PostingCodec.decodeEntries)
+            val blocks = PostingCodec.encodeTerm(term, cid, segId,
+              entries, (tf, dl) => Bm25.g(tf, dl, avgdl))
+            nPostings += entries.size
+            blocks.foreach { b =>
+              nBlocks += 1; nBytes += PostingCodec.storedBytes(b)
+            }
+            blocks
+          }
+          .toVector
+        val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
+        if (nPostings > 0) acc.add(graft.build.SegmentMeta(
+          segId, nPostings, nBlocks, nBytes, millis,
+          nPostings * 1000.0 / millis, nBytes.toDouble / nPostings))
+        out.iterator
+      }
+
+    // write to a sibling dir, then swap (we are reading the old one)
+    val tmp = s"$indexDir/postings_merged"
+    merged.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    val old = new java.io.File(s"$indexDir/postings")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    Files.move(Paths.get(tmp), old.toPath)
+
+    // refreshed stats/segments/dictionary/manifest
+    val segs = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq.sortBy(_.segment_id)
+    }
+    IndexBuilder.replaceSegments(indexDir, segs)
+    IndexBuilder.saveStatsPublic(indexDir,
+      IndexBuilder.CorpusStats(n, sumDl))
+    IndexBuilder.writeDictionary(spark, indexDir, n)
+    val lineage = ManifestIO.read(s"$indexDir/manifest.json")
+      .lineage.source_dir
+    IndexBuilder.writeManifest(spark, indexDir, n, avgdl, lineage)
+  }
+
   /** M5/M8 compaction: survivors re-ranked dense in OLD-id order into a
     * fresh snapshot directory (avgdl/idf refreshed there).
     */

@@ -118,6 +118,50 @@ class MaintenanceSpec extends SparkSpec {
     assert(desc.contains("B/posting") && desc.contains(s"docs=${n - 1}"))
   }
 
+  test("segment merge consolidates appended blocks and refreshes avgdl") {
+    import spark.implicits._
+    val dir = freshIndex()
+    (1 to 2).foreach { i =>
+      Maintenance.append(spark, dir, Seq(
+        (s"repo-m$i", s"src/m$i/a.c", f"feed$i%08d0001", "c",
+          "quartz melody quartz dup join"),
+        (s"repo-m$i", s"src/m$i/b.c", f"feed$i%08d0002", "c",
+          "melody xylophone join hash"))
+        .toDF("repo", "path", "commit", "lang", "content"))
+    }
+    val preBlocks = spark.read.parquet(s"$dir/postings")
+      .groupBy("cluster_id", "term").count()
+      .filter(col("count") > 1).count()
+    assert(preBlocks > 0, "appends should leave fragmented (cluster,term) runs")
+
+    Maintenance.mergeSegments(spark, dir)
+
+    val m = ManifestIO.read(s"$dir/manifest.json")
+    assert(m.num_docs == 504)
+    // avgdl refreshed to the exact docstore mean
+    val exact = spark.read.parquet(s"$dir/docstore")
+      .agg(sum(col("doc_len")), count(org.apache.spark.sql.functions.lit(1)))
+      .head()
+    assert(m.avgdl == exact.getLong(0).toDouble / exact.getLong(1))
+    // blocks consolidated: every (cluster,term) with df<=128 is ONE block
+    val fragmented = spark.read.parquet(s"$dir/postings")
+      .groupBy("cluster_id", "term")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("blocks"),
+        sum(col("count")).as("df"))
+      .filter(col("df") <= 128 && col("blocks") > 1)
+      .count()
+    assert(fragmented == 0)
+    // post-merge WAND == declarative scoring over the SAME docstore
+    val wand = IndexSearcher.topK(spark, dir,
+      QuerySet.queries.take(5) :+ (99 -> Seq("quartz", "join")), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val sql = graft.query.Bm25SqlPath.topK(spark,
+      spark.read.parquet(s"$dir/docstore"),
+      QuerySet.queries.take(5) :+ (99 -> Seq("quartz", "join")), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(wand.toSeq == sql.toSeq)
+  }
+
   test("append: new docs searchable with insertion-order ids; sha invariant holds") {
     val dir = freshIndex()
     val n = ManifestIO.read(s"$dir/manifest.json").num_docs
