@@ -1,0 +1,88 @@
+package graft.build
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic, metadata-driven placement of (cluster_id, doc_id div W)
+  * granules onto shuffle slots — the build's replacement for a range
+  * partitioner.
+  *
+  * Why not repartitionByRange: the range partitioner runs a FULL extra
+  * pass over its input to sample boundaries — on the postings exchange
+  * that pass re-runs the whole tokenize stage. Why not plain hash on the
+  * granule key: hashing scatters each cluster's granules across all
+  * tasks, so every task writes a file per cluster it touches (~450 small
+  * files instead of ~35 at bench scale), slowing the commit and every
+  * downstream scan.
+  *
+  * Instead the driver assigns granules to slots CONTIGUOUSLY in
+  * (cluster, window) order, proportionally to known/estimated granule
+  * weights (the kmeans sample gives them for free), so each task holds a
+  * few contiguous granule runs — low file counts — with balanced load.
+  *
+  * The placement rides through the STOCK hash exchange (whole-stage
+  * codegen, AQE-visible, no RDD drop-down) via engineered keys: for each
+  * slot p we precompute an int key k_p with
+  * `pmod(murmur3(k_p, 42), parts) == p`, and the partition column simply
+  * carries k_slot. At production scale the slot map is per-batch and
+  * bounded (granules of the batch's clusters only).
+  */
+object GranulePartitioner {
+
+  /** Spark's HashPartitioning of one int column = pmod(Murmur3(v, 42), n).
+    * Find, for every target partition, a key that lands exactly there.
+    */
+  def engineeredKeys(parts: Int): Array[Int] = {
+    val keys = new Array[Int](parts)
+    val found = new Array[Boolean](parts)
+    var x = 0
+    var remaining = parts
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+      val p = ((h % parts) + parts) % parts
+      if (!found(p)) { found(p) = true; keys(p) = x; remaining -= 1 }
+      x += 1
+    }
+    keys
+  }
+
+  /** Contiguous proportional assignment: granules sorted by
+    * (cluster, window), each placed at the slot its cumulative-weight
+    * midpoint falls in. Zero/unseen granules are bounded-small by the
+    * sampling stride, so their placement is immaterial.
+    */
+  def slotMap(
+      weights: Seq[((Int, Long), Long)],
+      parts: Int): Map[(Int, Long), Int] = {
+    val sorted = weights.sortBy(_._1)
+    val total = math.max(1L, sorted.map(_._2).sum)
+    var cum = 0L
+    sorted.map { case (g, w) =>
+      val slot = math.min(parts - 1, ((cum + w / 2) * parts / total).toInt)
+      cum += w
+      g -> slot
+    }.toMap
+  }
+
+  /** Column carrying the engineered key of the granule's slot.
+    * Unseen granules fall back to the granule-index round-robin slot
+    * (only sampling-invisible, i.e. tiny, granules take this path; an
+    * EMPTY map — maintenance appends — degrades to pure round-robin,
+    * fine for mini-segments).
+    */
+  def slotKeyCol(
+      slots: Map[(Int, Long), Int],
+      window: Long,
+      parts: Int)(clusterCol: Column, docIdCol: Column): Column = {
+    val keys = engineeredKeys(parts)
+    val w = window
+    val p = parts
+    val f = udf { (cluster: Int, docId: Long) =>
+      val win = docId / w
+      val slot = slots.getOrElse((cluster, win),
+        ((cluster * 1024 + win) % p).toInt)
+      keys(slot)
+    }
+    f(clusterCol, docIdCol)
+  }
+}

@@ -4,9 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.CollectionAccumulator
 
 import graft.cluster.CoarseClusterer
@@ -23,8 +22,8 @@ import graft.tokenize.Tokenizer
   *   read source table → tokenize → hashed term-vectors →
   *   deterministic kmeans (centroids collected at the driver — the only
   *   driver-sync barrier) → cluster_id column →
-  *   ONE shuffle: repartitionByRange(cluster_id, doc_id) →
-  *   sortWithinPartitions(cluster_id, term, doc_id) →
+  *   ONE shuffle: granule hash on (cluster_id, doc_id div W) →
+  *   sortWithinPartitions(cluster_id, granule, term, doc_id) →
   *   mapPartitions posting-block build (delta+varint, block-max) →
   *   write postings partitioned by cluster_id + manifest.
   *
@@ -50,6 +49,28 @@ import graft.tokenize.Tokenizer
   *    pruned incremental rebuild).
   */
 object IndexBuilder {
+
+  /** On-disk layout version, part of the resume fingerprint: bumping it
+    * invalidates checkpoints of older layouts (r2: granule windows).
+    */
+  val FormatVersion = 2
+
+  /** Granule window: each (cluster_id, doc_id div W) granule holds at
+    * most W dense doc ids. Because W bounds granule size regardless of
+    * how clusters correlate with the doc_id order, hashing granules over
+    * the shuffle slots gives balanced tasks WITHOUT the full extra
+    * sampling pass a range partitioner runs over its input — and every
+    * posting block stays inside one granule, so block doc-ranges are
+    * provably disjoint across tasks (the property the read side's
+    * sorted-run concatenation relies on). ~4 granules per slot, floored
+    * at 8k docs per window: below that, granule boundaries fragment
+    * posting runs into sub-block pieces and compression/bytes-per-
+    * posting degrade — a tiny corpus degrades gracefully to cluster-only
+    * partitioning (one window), where it never needed intra-cluster
+    * splits to begin with.
+    */
+  def granuleWindow(n: Long, parts: Int): Long =
+    math.max(8192L, math.ceil(n.toDouble / (4.0 * parts)).toLong)
 
   case class BuildConfig(
       kc: Int = 0, // 0 = auto (CoarseClusterer.pickKc)
@@ -119,6 +140,26 @@ object IndexBuilder {
         s"idOrder keys ${idOrder.mkString("(", ",", ")")} must be unique: " +
           s"$total rows, $distinctKeys distinct")
     }
+    // Resume identity [ADVICE r1]: a marker's existence is not enough —
+    // a dir previously built from a different source/config must NOT
+    // have its steps silently skipped. The fingerprint covers input,
+    // config, and on-disk format; on mismatch all checkpoint state and
+    // the append-mode postings dir are wiped before any step runs.
+    val fingerprint =
+      s"v=$FormatVersion input=$sfDir kc=${cfg.kc} amplify=${cfg.amplify} " +
+        s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")}"
+    val fpPath = Paths.get(indexDir, "_checkpoints", "fingerprint.txt")
+    if (cfg.resume && Files.exists(fpPath) &&
+        new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8)
+          != fingerprint) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$indexDir/_checkpoints"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$indexDir/postings"))
+    }
+    Files.createDirectories(fpPath.getParent)
+    Files.write(fpPath, fingerprint.getBytes(StandardCharsets.UTF_8))
+
     var run = Vector.empty[String]
     var skip = Vector.empty[String]
 
@@ -134,17 +175,22 @@ object IndexBuilder {
       }
 
     // ---- step 1: docstore (docs + kmeans cluster assignment) ----------
+    // Job economy (the north_rule scaling criterion punishes a long
+    // serial driver chain): j1 range-boundary sample for the dense-id
+    // exchange, j2 per-partition counts (whose sum is the TOTAL row
+    // count — no separate stats job), j3 kmeans-sample collect (the
+    // doc_id-stride filter is pushed below sha/tokenize, so only the
+    // ~10k sampled docs are tokenized), j4 the write itself, carrying an
+    // Observation that computes num_docs, Σdoc_len and per-cluster doc
+    // counts as a free side effect of the write job. Round 1 ran ~7
+    // sequential jobs here, including a SECOND full compute pass for the
+    // write's range-partitioner sampling; the granule-hash exchange
+    // needs no sampling at all.
     step("docstore") {
-      val docs = CoarseClusterer.withFeatures(
-        Corpus.docsFrom(source, idOrder))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE stats job: count + exact doc-length sum (Long — order
-      // independent), stashed for later steps (no recomputation).
-      val statsRow = docs
-        .agg(count(lit(1)), sum(col("doc_len"))).head()
-      val n = statsRow.getLong(0)
-      val sumDl = statsRow.getLong(1)
-      saveStats(indexDir, CorpusStats(n, sumDl))
+      val dense = Corpus.docsFromCounted(source, idOrder)
+      val docs = CoarseClusterer.withFeatures(dense.df)
+      val n = dense.numRows
+      require(n > 0, "empty source")
       val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
       // kmeans fits driver-locally on a deterministic doc_id-strided
       // sample (at real scale you never run Lloyd's over the full
@@ -160,15 +206,41 @@ object IndexBuilder {
         .sortBy(_._1)
       val centroids = CoarseClusterer.fitLocal(sample, kc)
       saveCentroids(indexDir, centroids)
-      // range-partition before the partitionBy write: each task then
-      // holds a contiguous (cluster_id, doc_id) slice and writes O(1)
-      // files per cluster instead of tasks × clusters small files.
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val window = granuleWindow(n, parts)
+      // granule weights estimated from the (deterministic) kmeans sample
+      // drive contiguous slot assignment here and in the postings step —
+      // balanced tasks, low file counts, no partitioner sampling pass
+      val weights = sample
+        .map { case (id, f) =>
+          (CoarseClusterer.assign(f, centroids), id / window)
+        }
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+        .toSeq
+      saveGranuleWeights(indexDir, weights)
+      val slotCol = GranulePartitioner.slotKeyCol(
+        GranulePartitioner.slotMap(weights, parts), window, parts) _
+      val obs = Observation()
+      val metrics =
+        count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
+          (0 until kc).map(c =>
+            sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
       CoarseClusterer.withClusterId(docs, centroids)
-        .repartitionByRange(col("cluster_id"), col("doc_id"))
+        .observe(obs, metrics.head, metrics.tail: _*)
+        .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
+        .repartition(parts, col("_slot"))
+        .drop("_slot")
+        .sortWithinPartitions(col("cluster_id"), col("doc_id"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(s"$indexDir/docstore")
-      docs.unpersist()
+      dense.unpersist()
+      val m = obs.get
+      saveStats(indexDir,
+        CorpusStats(n, m("sum_dl").asInstanceOf[Long], window))
+      saveDocCounts(indexDir, (0 until kc)
+        .map(c => c -> m(s"c$c").asInstanceOf[Long])
+        .filter(_._2 > 0).toMap)
     }
 
     def docstore = spark.read.parquet(s"$indexDir/docstore")
@@ -183,8 +255,11 @@ object IndexBuilder {
     // marker. A crashed build resumes at the first unfinished batch,
     // first wiping that batch's partial partition dirs.
     step("postings") {
-      val avgdl = loadStats(indexDir).avgdl
+      val stats = loadStats(indexDir)
+      val avgdl = stats.avgdl
       val kc = loadCentroids(indexDir).length
+      val weights = loadGranuleWeights(indexDir)
+      val parts = spark.sessionState.conf.numShufflePartitions
       val batches = clusterBatches(kc, cfg.postingsBatches)
       if (!cfg.resume) {
         // fresh build: wipe all posting partitions + batch markers (a
@@ -197,46 +272,95 @@ object IndexBuilder {
           .foreach(_.delete())
         saveSegments(indexDir, Seq.empty)
       }
-      var segOffset = 0
-      batches.zipWithIndex.foreach { case (clusters, bi) =>
+      // batches are INDEPENDENT (disjoint clusters, own staging dir, own
+      // marker), so pending ones are submitted CONCURRENTLY from driver
+      // threads — the scheduler interleaves their stages and the
+      // inter-batch barrier (idle cores at each batch's straggler tail)
+      // disappears. Spark's FIFO scheduler backfills idle slots with the
+      // next job's tasks. Metadata checkpoint writes share `metaLock`.
+      val metaLock = new Object
+      val pending = batches.zipWithIndex.flatMap { case (clusters, bi) =>
         val marker = s"postings_batch_$bi"
         if (cfg.resume && isDone(indexDir, marker)) {
-          skip :+= marker
-          segOffset += 10000 // keep segment ids disjoint across batches
-        } else {
-          // wipe partial output of this batch (idempotent restart)
+          metaLock.synchronized { skip :+= marker }
+          None
+        } else Some((clusters, bi, bi * 10000))
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = pending.map { case (clusters, bi, segOffset) =>
+        Future {
+          val marker = s"postings_batch_$bi"
+          // each batch writes to its own staging dir (concurrent jobs
+          // must not share a FileOutputCommitter _temporary), then the
+          // driver moves the cluster dirs into postings/ — idempotent
+          // restart wipes partial moves first
+          val staging = s"$indexDir/postings_staging_$bi"
           clusters.foreach { cid =>
             org.apache.commons.io.FileUtils.deleteQuietly(
               new java.io.File(s"$indexDir/postings/cluster_id=$cid"))
           }
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(staging))
           val slice = docstore
             .filter(col("cluster_id").isin(clusters: _*))
-          val (blocks, acc) = encodeBlocks(spark, slice, avgdl, segOffset)
-          blocks.write.mode("append")
+          // re-pack THIS batch's granules over all slots (a batch covers
+          // a cluster subset; without re-packing half the slots idle)
+          val batchSlots = GranulePartitioner.slotMap(
+            weights.filter(g => clusters.contains(g._1._1)), parts)
+          val (blocks, acc, cacc) = encodeBlocks(spark, slice, avgdl,
+            segOffset, stats.granule_window, batchSlots)
+          blocks.write.mode("overwrite")
             .partitionBy("cluster_id")
-            .parquet(s"$indexDir/postings")
+            .parquet(staging)
+          Files.createDirectories(Paths.get(s"$indexDir/postings"))
+          new java.io.File(staging).listFiles()
+            .filter(_.getName.startsWith("cluster_id="))
+            .foreach { d =>
+              Files.move(d.toPath,
+                Paths.get(s"$indexDir/postings/${d.getName}"))
+            }
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(staging))
           val segs = {
             import scala.jdk.CollectionConverters._
             acc.value.asScala.toSeq.sortBy(_.segment_id)
           }
-          appendSegments(indexDir, segs, segOffset, segOffset + 10000)
-          markDone(indexDir, marker,
-            s"input=$sfDir clusters=${clusters.mkString(",")}")
-          run :+= marker
-          segOffset += 10000
+          val cstats = {
+            import scala.jdk.CollectionConverters._
+            cacc.value.asScala.toSeq.sortBy(_.cluster_id)
+          }
+          metaLock.synchronized {
+            appendSegments(indexDir, segs, segOffset, segOffset + 10000)
+            saveClusterStats(indexDir, bi, cstats)
+            markDone(indexDir, marker,
+              s"input=$sfDir clusters=${clusters.mkString(",")}")
+            run :+= marker
+          }
         }
       }
+      jobs.foreach(Await.result(_, Duration.Inf))
     }
 
     // ---- step 3: dictionary (df/cf/idf from block metadata) ------------
+    // Vocab size rides along on the write job via an Observation.
     step("dictionary") {
       writeDictionary(spark, indexDir, loadStats(indexDir).num_docs)
     }
 
-    // ---- step 4: manifest ----------------------------------------------
+    // ---- step 4: manifest (ZERO jobs: assembled from the stats the
+    // earlier steps observed/accumulated — doc counts from the docstore
+    // write observation, block stats from the encode accumulator, vocab
+    // from the dictionary write observation) -----------------------------
     step("manifest") {
       val cstats = loadStats(indexDir)
-      writeManifest(spark, indexDir, cstats.num_docs, cstats.avgdl, sfDir)
+      writeManifest(spark, indexDir, cstats.num_docs, cstats.avgdl, sfDir,
+        vocabOpt = loadVocab(indexDir),
+        docCountsOpt = loadDocCounts(indexDir),
+        clusterStatsOpt = Some(loadAllClusterStats(indexDir))
+          .filter(_.nonEmpty),
+        granuleWindow = cstats.granule_window)
     }
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
@@ -254,9 +378,14 @@ object IndexBuilder {
   }
 
   /** The B6 heart: docs → posting rows (one char-scan tokenize pass) →
-    * ONE range shuffle on (cluster_id, doc_id) → sorted runs per
-    * (cluster, term) → delta+varint blocks with idf-free g-max headers.
-    * Per-segment lineage/metrics flow back via an accumulator.
+    * ONE granule-hash shuffle on (cluster_id, doc_id div window) →
+    * sorted runs per (cluster, granule, term) → delta+varint blocks with
+    * idf-free g-max headers. Granule windows replace round 1's range
+    * partitioner: same balance (window size bounds granule size), same
+    * disjoint-doc-range blocks (a block never crosses its granule), but
+    * NO partitioner sampling job — which re-ran the whole tokenize pass.
+    * Per-segment and per-cluster lineage/metrics flow back via
+    * accumulators (the manifest step then needs no postings scan).
     * `segmentOffset` keeps appended segments' ids distinct from the base
     * build's (Maintenance.append).
     */
@@ -264,9 +393,13 @@ object IndexBuilder {
       spark: SparkSession,
       docs: DataFrame,
       avgdl: Double,
-      segmentOffset: Int): (org.apache.spark.sql.Dataset[PostingBlock],
-      CollectionAccumulator[SegmentMeta]) = {
+      segmentOffset: Int,
+      window: Long,
+      slots: Map[(Int, Long), Int] = Map.empty):
+      (org.apache.spark.sql.Dataset[PostingBlock],
+      CollectionAccumulator[SegmentMeta], CollectionAccumulator[ClusterStat]) = {
     import spark.implicits._
+    require(window >= 1, s"granule window must be >= 1, got $window")
     val postings = docs
       .select("doc_id", "cluster_id", "content", "doc_len")
       .as[(Long, Int, String, Int)]
@@ -287,10 +420,17 @@ object IndexBuilder {
 
     val acc: CollectionAccumulator[SegmentMeta] =
       spark.sparkContext.collectionAccumulator[SegmentMeta]("segments")
+    val cacc: CollectionAccumulator[ClusterStat] =
+      spark.sparkContext.collectionAccumulator[ClusterStat]("cluster-stats")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val w = window
 
     val blocks = postings
-      .repartitionByRange(col("cluster_id"), col("doc_id"))
-      .sortWithinPartitions(col("cluster_id"), col("term"), col("doc_id"))
+      .withColumn("_slot", GranulePartitioner
+        .slotKeyCol(slots, w, parts)(col("cluster_id"), col("doc_id")))
+      .repartition(parts, col("_slot"))
+      .sortWithinPartitions(
+        col("cluster_id"), expr(s"doc_id div $w"), col("term"), col("doc_id"))
       .select("term", "cluster_id", "doc_id", "tf", "dl", "positions")
       .as[(String, Int, Long, Int, Int, Array[Int])]
       .mapPartitions { rows =>
@@ -299,22 +439,33 @@ object IndexBuilder {
         var nPostings = 0L
         var nBlocks = 0L
         var nBytes = 0L
+        // per-cluster encode metrics (cluster → postings, blocks, bytes,
+        // encode nanos) — the manifest's PartitionMeta without a scan
+        val perCluster = scala.collection.mutable.LinkedHashMap
+          .empty[Int, Array[Long]]
         val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
-        var curKey: (Int, String) = null
+        var curKey: (Int, Long, String) = null // (cluster, granule, term)
         val buf = scala.collection.mutable.ArrayBuffer.empty[PostingEntry]
         def flush(): Unit = if (buf.nonEmpty) {
-          val bs = PostingCodec.encodeTerm(curKey._2, curKey._1, segId,
+          val f0 = System.nanoTime()
+          val bs = PostingCodec.encodeTerm(curKey._3, curKey._1, segId,
             buf.toSeq, (tf, dl) => Bm25.g(tf, dl, avgdl))
+          val cs = perCluster.getOrElseUpdate(curKey._1, new Array[Long](4))
           bs.foreach { b =>
             out += b
             nBlocks += 1
-            nBytes += PostingCodec.storedBytes(b)
+            val sb = PostingCodec.storedBytes(b)
+            nBytes += sb
+            cs(1) += 1
+            cs(2) += sb
           }
           nPostings += buf.size
+          cs(0) += buf.size
+          cs(3) += System.nanoTime() - f0
           buf.clear()
         }
         rows.foreach { case (term, cid, docId, tf, dl, pos) =>
-          val key = (cid, term)
+          val key = (cid, docId / w, term)
           if (key != curKey) { flush(); curKey = key }
           buf += PostingEntry(docId, tf, dl, pos)
         }
@@ -324,9 +475,13 @@ object IndexBuilder {
           segId, nPostings, nBlocks, nBytes, millis,
           nPostings * 1000.0 / millis,
           nBytes.toDouble / nPostings))
+        perCluster.foreach { case (cid, cs) =>
+          cacc.add(ClusterStat(cid, cs(0), cs(1), cs(2),
+            math.max(1L, cs(3) / 1000000L)))
+        }
         out.iterator
       }
-    (blocks, acc)
+    (blocks, acc, cacc)
   }
 
   /** Dictionary = df/cf/idf aggregated from block metadata: each
@@ -337,49 +492,76 @@ object IndexBuilder {
     * partials per task — the effect salting gives non-combinable aggs).
     * Also used by Maintenance.append to refresh idf after segment adds.
     */
-  def writeDictionary(spark: SparkSession, indexDir: String, n: Long): Unit = {
+  def writeDictionary(spark: SparkSession, indexDir: String, n: Long): Long = {
     val tmp = s"$indexDir/dictionary_tmp"
+    val obs = Observation()
     spark.read.parquet(s"$indexDir/postings")
       .groupBy(col("term"))
       .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
       .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
+      .observe(obs, count(lit(1)).as("vocab"))
       .write.mode("overwrite").parquet(tmp)
+    // swap: move the live dir ASIDE first, then the new one in, then
+    // drop the aside copy — a crash mid-swap leaves a recoverable
+    // dictionary_old instead of no dictionary at all [ADVICE r1]
     val target = Paths.get(s"$indexDir/dictionary")
-    org.apache.commons.io.FileUtils.deleteQuietly(target.toFile)
+    val aside = Paths.get(s"$indexDir/dictionary_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
+    if (Files.exists(target)) Files.move(target, aside)
     Files.move(Paths.get(tmp), target)
+    org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
+    val vocab = obs.get("vocab").asInstanceOf[Long]
+    saveVocab(indexDir, vocab)
+    vocab
   }
 
-  /** Recomputes per-partition stats and writes the manifest. Also used
-    * by Maintenance after appends.
+  /** Writes the manifest. The build path passes everything precomputed
+    * (observations + accumulators ⇒ ZERO jobs); Maintenance callers omit
+    * them and pay the recompute scans (non-critical paths).
     */
   def writeManifest(spark: SparkSession, indexDir: String,
-      numDocs: Long, avgdl: Double, lineageName: String): Unit = {
-    val vocab = spark.read.parquet(s"$indexDir/dictionary").count()
+      numDocs: Long, avgdl: Double, lineageName: String,
+      vocabOpt: Option[Long] = None,
+      docCountsOpt: Option[Map[Int, Long]] = None,
+      clusterStatsOpt: Option[Map[Int, ClusterStat]] = None,
+      granuleWindow: Long = 0L): Unit = {
+    val vocab = vocabOpt.getOrElse(
+      spark.read.parquet(s"$indexDir/dictionary").count())
     val centroids = loadCentroids(indexDir)
-    val blockStats = spark.read.parquet(s"$indexDir/postings")
-      .groupBy("cluster_id")
-      .agg(
-        sum(col("count")).as("postings"),
-        count(lit(1)).as("blocks"),
-        sum(length(col("doc_gaps")) + length(col("tfs")) +
-          length(col("dls")) + length(col("positions"))).as("bytes"))
-      .collect()
-      .map(r => r.getInt(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val docCounts = spark.read.parquet(s"$indexDir/docstore")
-      .groupBy("cluster_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val blockStats: Map[Int, ClusterStat] = clusterStatsOpt.getOrElse {
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy("cluster_id")
+        .agg(
+          sum(col("count")).as("postings"),
+          count(lit(1)).as("blocks"),
+          sum(length(col("doc_gaps")) + length(col("tfs")) +
+            length(col("dls")) + length(col("positions"))).as("bytes"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ClusterStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            build_millis = 0L)).toMap
+    }
+    val docCounts = docCountsOpt.getOrElse {
+      spark.read.parquet(s"$indexDir/docstore")
+        .groupBy("cluster_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
 
     val parts = docCounts.keys.toSeq.sorted.map { cid =>
-      val (p, b, by) = blockStats.getOrElse(cid, (0L, 0L, 0L))
-      PartitionMeta(cid, docCounts(cid), p, b, by,
-        build_millis = 0L,
-        postings_per_sec = 0.0,
-        bytes_per_posting = if (p > 0) by.toDouble / p else 0.0)
+      val cs = blockStats.getOrElse(cid, ClusterStat(cid, 0L, 0L, 0L, 0L))
+      PartitionMeta(cid, docCounts(cid), cs.num_postings, cs.num_blocks,
+        cs.bytes,
+        build_millis = cs.build_millis,
+        postings_per_sec =
+          if (cs.build_millis > 0) cs.num_postings * 1000.0 / cs.build_millis
+          else 0.0,
+        bytes_per_posting =
+          if (cs.num_postings > 0) cs.bytes.toDouble / cs.num_postings
+          else 0.0)
     }
 
     val manifest = IndexManifest(
-      version = 1,
+      version = FormatVersion,
       num_docs = numDocs,
       avgdl = avgdl,
       vocab_size = vocab,
@@ -388,6 +570,7 @@ object IndexBuilder {
       k1 = Bm25.K1,
       b = Bm25.B,
       round_scale = Bm25.Scale,
+      granule_window = granuleWindow,
       centroids = centroids,
       lineage = InputLineage(lineageName, numDocs),
       partitions = parts,
@@ -395,10 +578,14 @@ object IndexBuilder {
     ManifestIO.write(s"$indexDir/manifest.json", manifest)
   }
 
-  /** Corpus stats computed once in the docstore step (exact Long sum →
-    * deterministic avgdl) and reused by every later step.
+  /** Corpus stats observed once on the docstore write job (exact Long
+    * sum → deterministic avgdl) and reused by every later step.
+    * `granule_window` fixes the (cluster, doc_id div W) granule scheme
+    * for the whole index lifetime — appends reuse it so query-side
+    * granule splits stay valid across segments.
     */
-  case class CorpusStats(num_docs: Long, sum_dl: Long) {
+  case class CorpusStats(num_docs: Long, sum_dl: Long,
+      granule_window: Long = 1L) {
     def avgdl: Double = sum_dl.toDouble / num_docs
   }
 
@@ -420,6 +607,75 @@ object IndexBuilder {
       Files.readAllBytes(Paths.get(indexDir, "_checkpoints", "stats.json")),
       classOf[CorpusStats])
 
+  private def saveGranuleWeights(indexDir: String,
+      w: Seq[((Int, Long), Long)]): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "granuleweights.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(
+      w.sortBy(_._1).map { case ((c, win), n) => Array(c.toLong, win, n) }
+        .toArray))
+  }
+
+  def loadGranuleWeights(indexDir: String): Seq[((Int, Long), Long)] = {
+    val p = Paths.get(indexDir, "_checkpoints", "granuleweights.json")
+    if (!Files.exists(p)) Seq.empty
+    else mapper.readValue(Files.readAllBytes(p), classOf[Array[Array[Long]]])
+      .map(a => (a(0).toInt, a(1)) -> a(2)).toSeq
+  }
+
+  private def saveDocCounts(indexDir: String, m: Map[Int, Long]): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "doccounts.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(
+      m.toSeq.sortBy(_._1).map { case (k, v) => Array(k.toLong, v) }.toArray))
+  }
+
+  def loadDocCounts(indexDir: String): Option[Map[Int, Long]] = {
+    val p = Paths.get(indexDir, "_checkpoints", "doccounts.json")
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readAllBytes(p),
+      classOf[Array[Array[Long]]])
+      .map(a => a(0).toInt -> a(1)).toMap)
+  }
+
+  private def saveVocab(indexDir: String, vocab: Long): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", "vocab.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(vocab))
+  }
+
+  def loadVocab(indexDir: String): Option[Long] = {
+    val p = Paths.get(indexDir, "_checkpoints", "vocab.json")
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readAllBytes(p), classOf[Long]))
+  }
+
+  /** Per-batch cluster encode stats (a rerun batch overwrites its own
+    * file; clusters never span batches, so merging = concatenation).
+    */
+  private def saveClusterStats(indexDir: String, batch: Int,
+      stats: Seq[ClusterStat]): Unit = {
+    val p = Paths.get(indexDir, "_checkpoints", s"clusterstats_batch_$batch.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(stats.toArray))
+  }
+
+  def loadAllClusterStats(indexDir: String): Map[Int, ClusterStat] = {
+    val dir = Paths.get(indexDir, "_checkpoints").toFile
+    if (!dir.isDirectory) Map.empty
+    else dir.listFiles()
+      .filter(_.getName.startsWith("clusterstats_batch_"))
+      .sortBy(_.getName)
+      .flatMap(f => mapper.readValue(Files.readAllBytes(f.toPath),
+        classOf[Array[ClusterStat]]))
+      .groupBy(_.cluster_id)
+      .map { case (cid, cs) =>
+        cid -> ClusterStat(cid,
+          cs.map(_.num_postings).sum, cs.map(_.num_blocks).sum,
+          cs.map(_.bytes).sum, cs.map(_.build_millis).sum)
+      }
+  }
+
   private def saveCentroids(indexDir: String, c: Array[Array[Double]]): Unit = {
     val p = Paths.get(indexDir, "_checkpoints", "centroids.json")
     Files.createDirectories(p.getParent)
@@ -438,9 +694,10 @@ object IndexBuilder {
   }
 
   /** Merge new segment metas into the checkpoint: a (re-)run batch
-    * replaces its ENTIRE segment-id range [from, until).
+    * replaces its ENTIRE segment-id range [from, until). Public because
+    * Maintenance.append records its mini-segments the same way.
     */
-  private def appendSegments(indexDir: String, segs: Seq[SegmentMeta],
+  def appendSegments(indexDir: String, segs: Seq[SegmentMeta],
       from: Int, until: Int): Unit = {
     val merged = (loadSegments(indexDir)
       .filterNot(s => s.segment_id >= from && s.segment_id < until)

@@ -20,6 +20,17 @@ case class SegmentMeta(
     postings_per_sec: Double,
     bytes_per_posting: Double)
 
+/** Per-cluster encode stats, accumulated inside the posting-encode tasks
+  * so the manifest step needs no postings scan. `build_millis` is the
+  * encode (codec) time attributed to the cluster's blocks.
+  */
+case class ClusterStat(
+    cluster_id: Int,
+    num_postings: Long,
+    num_blocks: Long,
+    bytes: Long,
+    build_millis: Long)
+
 /** Input lineage recorded in the manifest (north_rule: per-partition
   * lineage; resume checks input identity before skipping steps).
   */
@@ -44,6 +55,11 @@ case class IndexManifest(
     k1: Double,
     b: Double,
     round_scale: Int,
+    // (cluster_id, doc_id div granule_window) is the build's granule
+    // key: every posting block lies inside one granule, so the window is
+    // also a SAFE query-side secondary split key (all of a doc's blocks
+    // across terms share its granule). 0 in pre-r2 manifests.
+    granule_window: Long = 0L,
     centroids: Array[Array[Double]],
     lineage: InputLineage,
     partitions: Seq[PartitionMeta],

@@ -145,6 +145,50 @@ object CoarseClusterer {
     centroids
   }
 
+  /** Deterministic driver-local Lloyd's over DOUBLE vectors (embedding
+    * pipelines): sequential accumulation, seeds = the k sample points
+    * with the smallest (murmur3(id), id) — the double-typed twin of
+    * [[fitLocal]].
+    */
+  def fitLocalDouble(sample: Array[(Long, Array[Double])], k0: Int,
+      maxIter: Int = MaxIter): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty kmeans sample")
+    val k = math.min(k0, sample.length)
+    val dim = sample.head._2.length
+    def idHash(id: Long): Int =
+      scala.util.hashing.MurmurHash3.productHash(Tuple1(id), HashSeed)
+    var centroids = sample
+      .sortBy { case (id, _) => (idHash(id), id) }
+      .take(k)
+      .map(_._2.clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { case (_, f) =>
+        val c = argminDist(f, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += f(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Argmin over [[distances]], ties to the lower id. */
+  def argminDist(feat: Array[Double], centroids: Array[Array[Double]]): Int = {
+    val ds = distances(feat, centroids)
+    var best = 0
+    var i = 1
+    while (i < ds.length) { if (ds(i) < ds(best)) best = i; i += 1 }
+    best
+  }
+
   /** Adds `cluster_id` given driver-held centroids. */
   def withClusterId(docs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(centroids)

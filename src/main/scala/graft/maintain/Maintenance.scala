@@ -62,29 +62,49 @@ object Maintenance {
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
     val centroids = manifest.centroids
     val avgdl = manifest.avgdl // held until compaction
+    // appended segments REUSE the base build's granule window so every
+    // block — old or new — stays inside one (cluster, window) granule
+    // and query-side granule splits remain safe (a pre-r2 manifest has
+    // window 0 = "no granules": one unbounded window)
+    val window =
+      if (manifest.granule_window > 0) manifest.granule_window
+      else Long.MaxValue
 
+    val dense = Corpus.docsFromCounted(newSource,
+      idOffset = manifest.num_docs)
     val docs = CoarseClusterer.withClusterId(
-      CoarseClusterer.withFeatures(
-        Corpus.docsFrom(newSource, idOffset = manifest.num_docs)),
-      centroids)
+      CoarseClusterer.withFeatures(dense.df), centroids)
 
     docs
-      .repartitionByRange(col("cluster_id"), col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cluster_id"), expr(s"doc_id div $window"))
+      .sortWithinPartitions(col("cluster_id"), col("doc_id"))
       .write.mode("append")
       .partitionBy("cluster_id")
       .parquet(s"$indexDir/docstore")
 
     val segOffset = (manifest.segments.map(_.segment_id) :+ 0).max + 1
-    val (blocks, _) = IndexBuilder.encodeBlocks(spark, docs, avgdl, segOffset)
+    val (blocks, acc, _) =
+      IndexBuilder.encodeBlocks(spark, docs, avgdl, segOffset, window)
     blocks.write.mode("append")
       .partitionBy("cluster_id")
       .parquet(s"$indexDir/postings")
+    // record the mini-segments' lineage like the build path does
+    // [ADVICE r1: the accumulator was discarded, leaving manifest
+    // .segments stale and later appends reusing the same segOffset]
+    val segs = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq.sortBy(_.segment_id)
+    }
+    IndexBuilder.appendSegments(indexDir, segs, segOffset,
+      segOffset + 10000)
 
-    val added = docs.count()
+    val added = dense.numRows
+    dense.unpersist()
     val nNew = manifest.num_docs + added
     IndexBuilder.writeDictionary(spark, indexDir, nNew)
     IndexBuilder.writeManifest(spark, indexDir, nNew, avgdl,
-      manifest.lineage.source_dir)
+      manifest.lineage.source_dir, granuleWindow = manifest.granule_window)
   }
 
   /** Segment merge (north_star: "merge partition-local segments into a
@@ -100,6 +120,15 @@ object Maintenance {
     import graft.model.PostingBlock
     import graft.query.Bm25
 
+    val manifest0 = ManifestIO.read(s"$indexDir/manifest.json")
+    // merged blocks must STAY granule-contained (the query-side split
+    // key relies on it), so consolidation groups decoded entries by
+    // their (cluster, doc_id div window) granule — exactly the fragments
+    // appends create inside each window get fused, nothing crosses one.
+    val window =
+      if (manifest0.granule_window > 0) manifest0.granule_window
+      else Long.MaxValue
+
     // exact refreshed stats (Long sums → deterministic)
     val statsRow = spark.read.parquet(s"$indexDir/docstore")
       .agg(count(lit(1)), sum(col("doc_len"))).head()
@@ -110,44 +139,73 @@ object Maintenance {
     val acc = spark.sparkContext
       .collectionAccumulator[graft.build.SegmentMeta]("merged-segments")
 
+    // the shuffle SORTS runs into (cluster, granule, term, first_doc)
+    // order, so the consolidator streams one grouped run at a time —
+    // retained heap is one (cluster, granule, term) run, never the whole
+    // task's blocks [VERDICT r1: it.toSeq buffered everything]
     val merged = spark.read.parquet(s"$indexDir/postings")
       .as[PostingBlock]
       .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"),
+        expr(s"first_doc div $window"), col("term"), col("first_doc"))
       .mapPartitions { it =>
         val segId = org.apache.spark.TaskContext.getPartitionId()
         val tStart = System.nanoTime()
         var nPostings = 0L
         var nBlocks = 0L
         var nBytes = 0L
-        val out = it.toSeq
-          .groupBy(b => (b.cluster_id, b.term))
-          .iterator
-          .flatMap { case ((cid, term), bs) =>
-            // runs are disjoint doc ranges: sort by first_doc, concat
-            val entries = bs.sortBy(_.first_doc)
-              .flatMap(PostingCodec.decodeEntries)
-            val blocks = PostingCodec.encodeTerm(term, cid, segId,
-              entries, (tf, dl) => Bm25.g(tf, dl, avgdl))
-            nPostings += entries.size
-            blocks.foreach { b =>
-              nBlocks += 1; nBytes += PostingCodec.storedBytes(b)
-            }
-            blocks
+        var done = false
+        val runs = new Iterator[Seq[PostingBlock]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[PostingBlock] = {
+            val head = buf.head
+            val key = (head.cluster_id, head.first_doc / window, head.term)
+            val run = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+            while (buf.hasNext && {
+              val b = buf.head
+              (b.cluster_id, b.first_doc / window, b.term) == key
+            }) run += buf.next()
+            run.toSeq
           }
-          .toVector
-        val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
-        if (nPostings > 0) acc.add(graft.build.SegmentMeta(
-          segId, nPostings, nBlocks, nBytes, millis,
-          nPostings * 1000.0 / millis, nBytes.toDouble / nPostings))
-        out.iterator
+        }
+        val out = runs.flatMap { bs =>
+          // runs within a granule are disjoint doc ranges, pre-sorted
+          // by first_doc: decode, concat, re-encode as full blocks
+          val entries = bs.flatMap(PostingCodec.decodeEntries)
+          val blocks = PostingCodec.encodeTerm(bs.head.term,
+            bs.head.cluster_id, segId,
+            entries, (tf, dl) => Bm25.g(tf, dl, avgdl))
+          nPostings += entries.size
+          blocks.foreach { b =>
+            nBlocks += 1; nBytes += PostingCodec.storedBytes(b)
+          }
+          blocks
+        }
+        out ++ {
+          // accumulator flush after the stream is fully consumed
+          if (!done) {
+            done = true
+            val millis = math.max(1L, (System.nanoTime() - tStart) / 1000000L)
+            if (nPostings > 0) acc.add(graft.build.SegmentMeta(
+              segId, nPostings, nBlocks, nBytes, millis,
+              nPostings * 1000.0 / millis, nBytes.toDouble / nPostings))
+          }
+          Iterator.empty
+        }
       }
 
-    // write to a sibling dir, then swap (we are reading the old one)
+    // write to a sibling dir, then swap: live dir moves ASIDE first so a
+    // crash mid-swap leaves a recoverable postings_old, never a missing
+    // postings dir [ADVICE r1]
     val tmp = s"$indexDir/postings_merged"
     merged.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
-    val old = new java.io.File(s"$indexDir/postings")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    Files.move(Paths.get(tmp), old.toPath)
+    val old = Paths.get(s"$indexDir/postings")
+    val aside = Paths.get(s"$indexDir/postings_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
+    if (Files.exists(old)) Files.move(old, aside)
+    Files.move(Paths.get(tmp), old)
+    org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
 
     // refreshed stats/segments/dictionary/manifest
     val segs = {
@@ -158,9 +216,9 @@ object Maintenance {
     IndexBuilder.saveStatsPublic(indexDir,
       IndexBuilder.CorpusStats(n, sumDl))
     IndexBuilder.writeDictionary(spark, indexDir, n)
-    val lineage = ManifestIO.read(s"$indexDir/manifest.json")
-      .lineage.source_dir
-    IndexBuilder.writeManifest(spark, indexDir, n, avgdl, lineage)
+    IndexBuilder.writeManifest(spark, indexDir, n, avgdl,
+      manifest0.lineage.source_dir,
+      granuleWindow = manifest0.granule_window)
   }
 
   /** M5/M8 compaction: survivors re-ranked dense in OLD-id order into a

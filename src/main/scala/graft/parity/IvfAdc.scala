@@ -115,25 +115,46 @@ object IvfAdc {
     val kLocal = k
 
     val hits = encoded.as[Encoded]
+      .sortWithinPartitions(col("cluster_id"), col("vec_id"))
       .mapPartitions { it =>
-        val all = it.toArray
-        val byCluster = all.groupBy(_.cluster_id)
-        plansBc.value.iterator.flatMap { case (qid, cells) =>
-          cells.iterator.flatMap { case (cell, dc, luts) =>
-            byCluster.getOrElse(cell, Array.empty[Encoded]).iterator
-              .map { e =>
-                var d = dc // the reference's seed term (index.jl:242)
-                var s = 0
-                while (s < luts.length) {
-                  d += luts(s)(e.codes(s) & 0xff)
-                  s += 1
-                }
-                (qid, e.vec_id, d)
-              }
-          }
-            // local bounded top-k per query (Q7 heap analog)
-            .toArray.sortBy { case (_, id, d) => (d, id) }.take(kLocal)
+        // stream one CLUSTER's codes at a time off the sorted iterator
+        // (retained heap = one inverted list, not the whole task
+        // [VERDICT r1 #4]); per (query, probed cell) a bounded size-k
+        // heap replaces the sort-everything-take-k (Q7 heap analog)
+        val ord = Ordering.by[(Int, Long, Double), (Double, Long)] {
+          case (_, id, d) => (d, id)
         }
+        val buf = it.buffered
+        new Iterator[Iterator[(Int, Long, Double)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Int, Long, Double)] = {
+            val cid = buf.head.cluster_id
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Encoded]
+            while (buf.hasNext && buf.head.cluster_id == cid)
+              rows += buf.next()
+            plansBc.value.iterator.flatMap { case (qid, cells) =>
+              cells.iterator.filter(_._1 == cid)
+                .flatMap { case (_, dc, luts) =>
+                  val heap = // max at head: evict the worst when full
+                    scala.collection.mutable.PriorityQueue.empty[(Int, Long, Double)](ord)
+                  rows.foreach { e =>
+                    var d = dc // the reference's seed term (index.jl:242)
+                    var s = 0
+                    while (s < luts.length) {
+                      d += luts(s)(e.codes(s) & 0xff)
+                      s += 1
+                    }
+                    val cand = (qid, e.vec_id, d)
+                    if (heap.size < kLocal) heap.enqueue(cand)
+                    else if (ord.lt(cand, heap.head)) {
+                      heap.dequeue(); heap.enqueue(cand)
+                    }
+                  }
+                  heap.dequeueAll.reverse
+                }
+            }
+          }
+        }.flatten
       }
       .toDF("query_id", "vec_id", "dist")
 

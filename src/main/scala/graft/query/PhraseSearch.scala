@@ -35,58 +35,81 @@ object PhraseSearch {
     val tombstones = spark.sparkContext.broadcast(
       graft.maintain.Maintenance.loadTombstones(indexDir))
 
+    // pre-r2 manifests have no granule window: single split
+    val window = if (manifest.granule_window > 0) manifest.granule_window
+      else Long.MaxValue
+    val splits =
+      if (manifest.granule_window > 0) IndexSearcher.SplitsPerCluster else 1
+
     // projection: positions but no tfs/dls/block_max (column pruning)
     val blocks = spark.read
       .parquet(s"$indexDir/postings")
       .filter(col("term").isin(terms: _*))
       .select("term", "cluster_id", "first_doc", "count", "doc_gaps",
         "positions")
-      .as[PhraseBlock]
+      .withColumn("_split",
+        pmod(expr(s"first_doc div $window"), lit(splits)))
 
     blocks
-      .repartition(col("cluster_id"))
+      .repartition(col("cluster_id"), col("_split"))
+      .sortWithinPartitions(col("cluster_id"), col("_split"), col("term"),
+        col("first_doc"))
+      .as[PhraseBlock]
       .mapPartitions { it =>
         val ph = phraseBc.value
         val dead = tombstones.value
-        val byClusterTerm = it.toSeq.groupBy(b => (b.cluster_id, b.term))
-        val decoded: Map[(Int, String), (Array[Long], Array[Array[Int]])] =
-          byClusterTerm.map { case (key, bs) =>
-            val sorted = bs.sortBy(_.first_doc)
-            val docs = sorted.flatMap(b =>
-              PostingCodec.decodeDocs(b.count, b.first_doc, b.doc_gaps))
-              .toArray
-            val pos = sorted.flatMap(b =>
-              PostingCodec.decodePositionsRaw(b.count, b.positions)).toArray
-            key -> (docs, pos)
-          }
-        val clusters = decoded.keySet.map(_._1)
-        clusters.iterator.flatMap { cid =>
-          val lists = ph.map(t => decoded.get((cid, t)))
-          if (lists.exists(_.isEmpty)) Iterator.empty
-          else {
-            val ls = lists.map(_.get)
-            // intersect doc lists via the rarest term's list
-            val (baseDocs, _) = ls.minBy(_._1.length)
-            baseDocs.iterator
-              .filterNot(dead.contains)
-              .flatMap { d =>
-                // per-term position set for doc d (binary search)
-                val posSets = ls.map { case (docs, pos) =>
-                  val i = java.util.Arrays.binarySearch(docs, d)
-                  if (i < 0) null else pos(i)
+        // stream one (cluster, split) group at a time off the sorted
+        // iterator (granule containment keeps every doc's blocks for ALL
+        // phrase terms inside one group) — retained heap is one group's
+        // decoded lists, never the whole task [VERDICT r1 #4]
+        val buf = it.buffered
+        def groupKey(b: PhraseBlock): (Int, Long) =
+          (b.cluster_id, (b.first_doc / window) % splits)
+        new Iterator[Iterator[(Long, Long)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long)] = {
+            val key = groupKey(buf.head)
+            val byTerm = scala.collection.mutable.LinkedHashMap
+              .empty[String, (scala.collection.mutable.ArrayBuffer[Long],
+                scala.collection.mutable.ArrayBuffer[Array[Int]])]
+            while (buf.hasNext && groupKey(buf.head) == key) {
+              val b = buf.next()
+              val (docs, pos) = byTerm.getOrElseUpdate(b.term,
+                (scala.collection.mutable.ArrayBuffer.empty[Long],
+                  scala.collection.mutable.ArrayBuffer.empty[Array[Int]]))
+              docs ++= PostingCodec.decodeDocs(b.count, b.first_doc, b.doc_gaps)
+              pos ++= PostingCodec.decodePositionsRaw(b.count, b.positions)
+            }
+            val decoded: Map[String, (Array[Long], Array[Array[Int]])] =
+              byTerm.map { case (t, (d, p)) => t -> (d.toArray, p.toArray) }
+                .toMap
+            val lists = ph.map(decoded.get)
+            if (lists.exists(_.isEmpty)) Iterator.empty
+            else {
+              val ls = lists.map(_.get)
+              // intersect doc lists via the rarest term's list
+              val (baseDocs, _) = ls.minBy(_._1.length)
+              baseDocs.iterator
+                .filterNot(dead.contains)
+                .flatMap { d =>
+                  // per-term position set for doc d (binary search)
+                  val posSets = ls.map { case (docs, pos) =>
+                    val i = java.util.Arrays.binarySearch(docs, d)
+                    if (i < 0) null else pos(i)
+                  }
+                  if (posSets.contains(null)) Iterator.empty
+                  else {
+                    val first = posSets(0)
+                    val rest = posSets.tail.map(_.toSet)
+                    val occ = first.count(p =>
+                      rest.zipWithIndex.forall { case (s, i) => s.contains(p + i + 1) })
+                    if (occ > 0) Iterator.single((d, occ.toLong))
+                    else Iterator.empty
+                  }
                 }
-                if (posSets.contains(null)) Iterator.empty
-                else {
-                  val first = posSets(0)
-                  val rest = posSets.tail.map(_.toSet)
-                  val occ = first.count(p =>
-                    rest.zipWithIndex.forall { case (s, i) => s.contains(p + i + 1) })
-                  if (occ > 0) Iterator.single((d, occ.toLong))
-                  else Iterator.empty
-                }
-              }
+            }
           }
-        }
+        }.flatten
       }
       .toDF("doc_id", "occurrences")
       .orderBy(col("occurrences").desc, col("doc_id").asc)

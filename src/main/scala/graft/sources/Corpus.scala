@@ -33,9 +33,6 @@ object Corpus {
       .withColumn("doc_id",
         col("doc_id") * factor + col("replica"))
       .drop("replica")
-      // the blown-up corpus is born in as few partitions as the tiny
-      // base file; spread it so downstream per-row compute parallelizes
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** F1: the source-code table (repo, path, commit, lang, content). */
@@ -75,12 +72,29 @@ object Corpus {
       df: DataFrame,
       sortCols: Seq[String],
       idCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    withDenseIdCounted(df, sortCols, idCol, numPartitions).df
+
+  /** Dense-id result: the id'd frame, the TOTAL row count (free — it is
+    * the sum of the per-partition counts the offset pass already
+    * collects, so callers never need a separate count job), and an
+    * unpersist handle for the internal post-shuffle cache (two downstream
+    * jobs read it; release it when the last one is done).
+    */
+  final case class DenseId(df: DataFrame, numRows: Long, unpersist: () => Unit)
+
+  def withDenseIdCounted(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      numPartitions: Int = 0): DenseId = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val cols = sortCols.map(col)
+    // persisted: three consumers (counts, kmeans sample, the write) read
+    // it; without the cache each would re-execute the whole exchange
     val sorted = df
       .repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
@@ -93,13 +107,17 @@ object Corpus {
       .sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    // offsets as a literal map lookup, not a broadcast join: ≤ one entry
+    // per shuffle partition, and the join ran two extra driver jobs
+    // (createDataFrame + broadcast) per build
+    val offMap = typedlit(offsets.toMap)
     val w = Window.partitionBy(col("_pid")).orderBy(cols: _*)
-    sorted
+    val out = sorted
       .withColumn("_rn", row_number().over(w))
-      .join(broadcast(offDf), "_pid")
-      .withColumn(idCol, col("_rn") + col("_off") - 1)
-      .drop("_pid", "_rn", "_off")
+      .withColumn(idCol,
+        col("_rn") + element_at(offMap, col("_pid")) - 1)
+      .drop("_pid", "_rn")
+    DenseId(out, counts.map(_._2).sum, () => { sorted.unpersist(); () })
   }
 
   /** F1 table with dense doc_id (0-based, (repo, path, commit) order),
@@ -117,8 +135,19 @@ object Corpus {
   def docsFrom(
       src: DataFrame,
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
-      idOffset: Long = 0L): DataFrame = {
-    withDenseId(src, idOrder, "doc_id")
+      idOffset: Long = 0L): DataFrame =
+    docsFromCounted(src, idOrder, idOffset).df
+
+  /** [[docsFrom]] plus the free total row count and cache handle — the
+    * build path uses the count for kc/kmeans-sample sizing WITHOUT a
+    * separate stats job.
+    */
+  def docsFromCounted(
+      src: DataFrame,
+      idOrder: Seq[String] = Seq("repo", "path", "commit"),
+      idOffset: Long = 0L): DenseId = {
+    val dense = withDenseIdCounted(src, idOrder, "doc_id")
+    val out = dense.df
       .withColumn("doc_id", col("doc_id") + idOffset)
       .withColumn("content_sha", sha2(col("content"), 256))
       // native Catalyst expression (whole-stage codegen, reads
@@ -127,6 +156,7 @@ object Corpus {
         graft.functions.TokenCountExpr.tokenCount(col("content")))
       .select("doc_id", "repo", "path", "commit", "lang", "content",
         "content_sha", "doc_len")
+    dense.copy(df = out)
   }
 
   /** DuckDB CTEs for the same docs table (global row_number is fine in a
