@@ -58,9 +58,54 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // scaling corpus targets a fixed doc count (compute-bound but quick)
     // regardless of the base SF's size
-    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1048576").toLong
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "524288").toLong
+
+    // ---- per-query timings at the requested parallelism ----------------
+    // Queries run FIRST (fresh JVM, fresh page cache): in round 1 they
+    // ran after the scaling builds and inherited a hot, fragmented JVM —
+    // per-query numbers were noise-inflated. An untimed warmup pass at
+    // the smallest SF JIT-compiles each query's pipeline so the timed
+    // run measures the engine, not the first-call compiler.
+
+    val spark = session(cpus)
+    // make q_index_build measure a real build, not a resume of stale state
+    val idxDir = graft.build.Indexes.indexDirFor(sfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+
+    locally {
+      val warmSf = "/root/testdata/sf0.001"
+      if (new java.io.File(warmSf).isDirectory) {
+        val wIdx = graft.build.Indexes.indexDirFor(warmSf)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wIdx))
+        SparkEntry.queries.foreach { case (name, fn) =>
+          try fn(spark, warmSf).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+        }
+      }
+    }
+
+    // q_index_build FIRST: it pays the build; the wand queries then
+    // reuse the cached index (their timings = pure query cost)
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      (if (n == "q_index_build") "0" else "1") + n
+    }
+    val results = ordered.map { case (name, fn) =>
+      val (_, secs) = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+      }
+      name -> secs
+    }
+    // MUST stop before the scaling runs: getOrCreate would otherwise
+    // hand the scaling loop this 32-thread session instead of local[N]
+    spark.stop()
 
     // ---- scaling runs: same job, same input, local[N] vs local[4N] ----
+
     // N defaults to 1 (→ 4N = 4): the region where this shared-memory
     // sandbox VM adds real compute per thread. Beyond ~4-8 threads the
     // box is SMT/memory-bandwidth-limited (see BASELINE.md hardware
@@ -132,26 +177,6 @@ object Bench {
           s""""efficiency":$eff}"""
     }
 
-    // ---- per-query timings at the requested parallelism ----------------
-    val spark = session(cpus)
-    // make q_index_build measure a real build, not a resume of stale state
-    val idxDir = graft.build.Indexes.indexDirFor(sfDir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-
-    // q_index_build FIRST: it pays the build; the wand queries then
-    // reuse the cached index (their timings = pure query cost)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (if (n == "q_index_build") "0" else "1") + n
-    }
-    val results = ordered.map { case (name, fn) =>
-      val (_, secs) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-        }
-      }
-      name -> secs
-    }
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

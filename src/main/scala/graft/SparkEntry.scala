@@ -323,6 +323,35 @@ object SparkEntry {
          |       sha256(src) AS payload_src_sha
          |FROM assets ORDER BY asset_id""".stripMargin,
 
+    // The stub decode is a pure byte-level function, so even the
+    // "multimodal features" are oracle-checkable: the rolling 31x
+    // checksum is a recursive CTE doing the wrapping mod-2^64 arithmetic
+    // in HUGEINT, re-signed to BIGINT at the end (Java Long semantics).
+    "q_multimodal_features" ->
+      s"""WITH RECURSIVE ${Corpus.sqlDocsCtes},
+         |assets AS (
+         |  SELECT doc_id * 2 AS asset_id, 'image' AS kind,
+         |         repeat(content_sha, 4) AS src FROM docs
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, 'audio', repeat(content_sha, 4) FROM docs),
+         |chk AS (
+         |  SELECT asset_id, 1::HUGEINT AS s, 0 AS i, src FROM assets
+         |  UNION ALL
+         |  SELECT asset_id,
+         |         (s * 31 + ord(substr(src, i + 1, 1)))
+         |           % 18446744073709551616::HUGEINT,
+         |         i + 1, src
+         |  FROM chk WHERE i < len(src)),
+         |fin AS (SELECT asset_id, s FROM chk WHERE i = len(src))
+         |SELECT a.asset_id, a.kind,
+         |       CAST(len(a.src) AS INTEGER) AS n_bytes,
+         |       CAST((len(a.src) + 15) // 16 AS INTEGER) AS n_frames,
+         |       CAST(CASE WHEN f.s >= 9223372036854775808::HUGEINT
+         |            THEN f.s - 18446744073709551616::HUGEINT
+         |            ELSE f.s END AS BIGINT) AS checksum
+         |FROM assets a JOIN fin f USING (asset_id)
+         |ORDER BY asset_id""".stripMargin,
+
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
         |       count(*) AS n, round(sum(value), 4) AS total,

@@ -77,7 +77,11 @@ object IndexBuilder {
       resume: Boolean = true,
       amplify: Int = 1, // bench-only deterministic corpus blow-up
       postingsBatches: Int = 2, // per-partition resume granularity (tests use 4)
-      validateInput: Boolean = false) // B2-style key-uniqueness check (one extra job)
+      validateInput: Boolean = false, // B2-style key-uniqueness check (one extra job)
+      // coarse-assignment metric — the reference's Dc type parameter
+      // (/root/reference/src/index.jl:40); affects only how docs group
+      // into cells, never BM25 scores
+      distance: graft.cluster.Distance = graft.cluster.Distance.SqEuclidean)
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
@@ -147,7 +151,8 @@ object IndexBuilder {
     // the append-mode postings dir are wiped before any step runs.
     val fingerprint =
       s"v=$FormatVersion input=$sfDir kc=${cfg.kc} amplify=${cfg.amplify} " +
-        s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")}"
+        s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")} " +
+        s"dist=${cfg.distance.getClass.getSimpleName}"
     val fpPath = Paths.get(indexDir, "_checkpoints", "fingerprint.txt")
     if (cfg.resume && Files.exists(fpPath) &&
         new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8)
@@ -204,7 +209,8 @@ object IndexBuilder {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-      val centroids = CoarseClusterer.fitLocal(sample, kc)
+      val centroids =
+        CoarseClusterer.fitLocal(sample, kc, dist = cfg.distance)
       saveCentroids(indexDir, centroids)
       val parts = spark.sessionState.conf.numShufflePartitions
       val window = granuleWindow(n, parts)
@@ -213,7 +219,7 @@ object IndexBuilder {
       // balanced tasks, low file counts, no partitioner sampling pass
       val weights = sample
         .map { case (id, f) =>
-          (CoarseClusterer.assign(f, centroids), id / window)
+          (CoarseClusterer.assign(f, centroids, cfg.distance), id / window)
         }
         .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
         .toSeq
@@ -225,7 +231,7 @@ object IndexBuilder {
         count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
           (0 until kc).map(c =>
             sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
-      CoarseClusterer.withClusterId(docs, centroids)
+      CoarseClusterer.withClusterId(docs, centroids, cfg.distance)
         .observe(obs, metrics.head, metrics.tail: _*)
         .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
         .repartition(parts, col("_slot"))
@@ -360,7 +366,8 @@ object IndexBuilder {
         docCountsOpt = loadDocCounts(indexDir),
         clusterStatsOpt = Some(loadAllClusterStats(indexDir))
           .filter(_.nonEmpty),
-        granuleWindow = cstats.granule_window)
+        granuleWindow = cstats.granule_window,
+        distanceName = graft.cluster.Distance.name(cfg.distance))
     }
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
@@ -524,7 +531,8 @@ object IndexBuilder {
       vocabOpt: Option[Long] = None,
       docCountsOpt: Option[Map[Int, Long]] = None,
       clusterStatsOpt: Option[Map[Int, ClusterStat]] = None,
-      granuleWindow: Long = 0L): Unit = {
+      granuleWindow: Long = 0L,
+      distanceName: String = "sqeuclidean"): Unit = {
     val vocab = vocabOpt.getOrElse(
       spark.read.parquet(s"$indexDir/dictionary").count())
     val centroids = loadCentroids(indexDir)
@@ -570,8 +578,11 @@ object IndexBuilder {
       k1 = Bm25.K1,
       b = Bm25.B,
       round_scale = Bm25.Scale,
+      distance = distanceName,
       granule_window = granuleWindow,
       centroids = centroids,
+      coarse_graph =
+        graft.cluster.GraphCoarseSearch.buildEdges(centroids),
       lineage = InputLineage(lineageName, numDocs),
       partitions = parts,
       segments = loadSegments(indexDir))

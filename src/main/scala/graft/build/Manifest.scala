@@ -55,12 +55,20 @@ case class IndexManifest(
     k1: Double,
     b: Double,
     round_scale: Int,
+    // coarse-assignment metric name (the reference's Dc parameter);
+    // query-side probe ordering must use the same metric
+    distance: String = "sqeuclidean",
     // (cluster_id, doc_id div granule_window) is the build's granule
     // key: every posting block lies inside one granule, so the window is
     // also a SAFE query-side secondary split key (all of a doc's blocks
     // across terms share its granule). 0 in pre-r2 manifests.
     granule_window: Long = 0L,
     centroids: Array[Array[Double]],
+    // P2 graft (/root/reference/src/persistency.jl:163-241): the coarse
+    // quantizer's kNN graph adjacency, serialized with the index and
+    // reloaded at open instead of rebuilt (empty in pre-r2 manifests →
+    // searchers rebuild deterministically)
+    coarse_graph: Array[Array[Int]] = Array.empty,
     lineage: InputLineage,
     partitions: Seq[PartitionMeta],
     segments: Seq[SegmentMeta])

@@ -66,39 +66,52 @@ object CoarseClusterer {
     v
   }
 
-  /** Pure: argmin over centroids of squared euclidean distance, ties to
-    * the lower cluster id (matches sortperm stability of the reference's
-    * coarse search, /root/reference/src/coarsequantizers.jl:35).
+  /** Pure: argmin over centroids of `dist`, ties to the lower cluster id
+    * (matches sortperm stability of the reference's coarse search,
+    * /root/reference/src/coarsequantizers.jl:35). The SqEuclidean
+    * default keeps the tight no-conversion Long loop (the hot per-doc
+    * path); other metrics (the reference's Dc parameter) go through the
+    * generic [[Distance]].
     */
-  def assign(feat: Array[Long], centroids: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      val ctr = centroids(c)
-      var d = 0.0
-      var i = 0
-      while (i < Dim) {
-        val diff = feat(i) - ctr(i)
-        d += diff * diff
-        i += 1
+  def assign(feat: Array[Long], centroids: Array[Array[Double]],
+      dist: Distance = Distance.SqEuclidean): Int = {
+    if (dist eq Distance.SqEuclidean) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < Dim) {
+          val diff = feat(i) - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
+      best
+    } else {
+      val fd = feat.map(_.toDouble)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = dist(fd, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
     }
-    best
   }
 
-  /** Squared euclidean distance of a double-vector to each centroid —
-    * used for query-side probed-cluster selection (Q2 graft).
+  /** Distance of a double-vector to each centroid — used for query-side
+    * probed-cluster selection (Q2 graft). Metric-pluggable (Dc).
     */
-  def distances(feat: Array[Double], centroids: Array[Array[Double]]): Array[Double] =
-    centroids.map { ctr =>
-      var d = 0.0
-      var i = 0
-      while (i < feat.length) { val x = feat(i) - ctr(i); d += x * x; i += 1 }
-      d
-    }
+  def distances(feat: Array[Double], centroids: Array[Array[Double]],
+      dist: Distance = Distance.SqEuclidean): Array[Double] =
+    centroids.map(ctr => dist(feat, ctr))
 
   private def featCol =
     udf((content: String) => features(Tokenizer.tokenize(content)))
@@ -117,7 +130,8 @@ object CoarseClusterer {
     * sample docs with the smallest (murmur3(doc_id), doc_id).
     */
   def fitLocal(sample: Array[(Long, Array[Long])], kc: Int,
-      maxIter: Int = MaxIter): Array[Array[Double]] = {
+      maxIter: Int = MaxIter,
+      dist: Distance = Distance.SqEuclidean): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty kmeans sample")
     val k = math.min(kc, sample.length)
     def idHash(id: Long): Int =
@@ -131,7 +145,7 @@ object CoarseClusterer {
       val sums = Array.fill(k)(new Array[Long](Dim))
       val counts = new Array[Long](k)
       sample.foreach { case (_, f) =>
-        val c = assign(f, centroids)
+        val c = assign(f, centroids, dist)
         counts(c) += 1
         var i = 0
         while (i < Dim) { sums(c)(i) += f(i); i += 1 }
@@ -190,9 +204,10 @@ object CoarseClusterer {
   }
 
   /** Adds `cluster_id` given driver-held centroids. */
-  def withClusterId(docs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  def withClusterId(docs: DataFrame, centroids: Array[Array[Double]],
+      dist: Distance = Distance.SqEuclidean): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf((f: Seq[Long]) => assign(f.toArray, bc.value))
+    val assignUdf = udf((f: Seq[Long]) => assign(f.toArray, bc.value, dist))
     val withFeat =
       if (docs.columns.contains("feat")) docs else withFeatures(docs)
     withFeat.withColumn("cluster_id", assignUdf(col("feat"))).drop("feat")

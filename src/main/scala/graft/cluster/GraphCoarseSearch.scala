@@ -14,7 +14,10 @@ package graft.cluster
   */
 final class GraphCoarseSearch(
     centroids: Array[Array[Double]],
-    numNeighbors: Int = 8) {
+    val edges: Array[Array[Int]]) {
+
+  def this(centroids: Array[Array[Double]], numNeighbors: Int = 8) =
+    this(centroids, GraphCoarseSearch.buildEdges(centroids, numNeighbors))
 
   private val n = centroids.length
 
@@ -23,16 +26,6 @@ final class GraphCoarseSearch(
     var i = 0
     while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
     d
-  }
-
-  /** Exact kNN adjacency (small kc: O(kc²) once at open time). */
-  private val edges: Array[Array[Int]] = Array.tabulate(n) { i =>
-    (0 until n).filter(_ != i)
-      .map(j => (dist(centroids(i), centroids(j)), j))
-      .sortBy { case (d, j) => (d, j) }
-      .take(math.min(numNeighbors, n - 1))
-      .map(_._2)
-      .toArray
   }
 
   /** Greedy best-first search: returns up to w cluster ids ordered by
@@ -71,5 +64,35 @@ final class GraphCoarseSearch(
       }
     }
     results.iterator.take(w).map(_._2).toSeq
+  }
+}
+
+object GraphCoarseSearch {
+
+  /** Exact kNN adjacency (small kc: O(kc²) once at build time). The
+    * built graph is PERSISTED in the manifest (the P2 graft of the
+    * reference's HNSW save/load,
+    * /root/reference/src/persistency.jl:163-241) and reloaded at open —
+    * at large kc the rebuild is the expensive part, exactly why the
+    * reference serializes its graph.
+    */
+  def buildEdges(
+      centroids: Array[Array[Double]],
+      numNeighbors: Int = 8): Array[Array[Int]] = {
+    val n = centroids.length
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    Array.tabulate(n) { i =>
+      (0 until n).filter(_ != i)
+        .map(j => (dist(centroids(i), centroids(j)), j))
+        .sortBy { case (d, j) => (d, j) }
+        .take(math.min(numNeighbors, n - 1))
+        .map(_._2)
+        .toArray
+    }
   }
 }

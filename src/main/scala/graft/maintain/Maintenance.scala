@@ -73,7 +73,8 @@ object Maintenance {
     val dense = Corpus.docsFromCounted(newSource,
       idOffset = manifest.num_docs)
     val docs = CoarseClusterer.withClusterId(
-      CoarseClusterer.withFeatures(dense.df), centroids)
+      CoarseClusterer.withFeatures(dense.df), centroids,
+      graft.cluster.Distance.byName(manifest.distance))
 
     docs
       .repartition(spark.sessionState.conf.numShufflePartitions,
@@ -104,7 +105,8 @@ object Maintenance {
     val nNew = manifest.num_docs + added
     IndexBuilder.writeDictionary(spark, indexDir, nNew)
     IndexBuilder.writeManifest(spark, indexDir, nNew, avgdl,
-      manifest.lineage.source_dir, granuleWindow = manifest.granule_window)
+      manifest.lineage.source_dir, granuleWindow = manifest.granule_window,
+      distanceName = manifest.distance)
   }
 
   /** Segment merge (north_star: "merge partition-local segments into a
@@ -218,7 +220,8 @@ object Maintenance {
     IndexBuilder.writeDictionary(spark, indexDir, n)
     IndexBuilder.writeManifest(spark, indexDir, n, avgdl,
       manifest0.lineage.source_dir,
-      granuleWindow = manifest0.granule_window)
+      granuleWindow = manifest0.granule_window,
+      distanceName = manifest0.distance)
   }
 
   /** M5/M8 compaction: survivors re-ranked dense in OLD-id order into a

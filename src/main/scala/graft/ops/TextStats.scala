@@ -37,7 +37,8 @@ object TextStats {
   }
 
   /** Language-ID heuristic: per-language stopword ratios + argmax
-    * (ties → lexicographically first language code).
+    * (ties → lexicographically LAST language code: array_max over
+    * (ratio, lang) structs — the DuckDB oracle twin ties the same way).
     */
   def langId(docs: DataFrame): DataFrame = {
     val withRatios = Stopwords.foldLeft(docs.select(col("doc_id"), col("content"))) {

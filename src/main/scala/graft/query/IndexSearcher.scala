@@ -47,18 +47,38 @@ object IndexSearcher {
     */
   val SplitsPerCluster = 4
 
+  /** kc above which probed-cluster selection routes through the
+    * persisted kNN graph (Q3) instead of the naive argsort (Q2) —
+    * mirroring the reference's dual coarse-quantizer constructors
+    * (naive is "simple", HNSW is "fast!" per its docs; both exercised
+    * by /root/reference/test/search.jl:3).
+    */
+  val GraphProbeKcThreshold = 64
+
   def topK(
       spark: SparkSession,
       indexDir: String,
       queries: Seq[(Int, Seq[String])],
       k: Int,
       w: Int = Int.MaxValue,
-      splitsPerCluster: Int = SplitsPerCluster): DataFrame = {
+      splitsPerCluster: Int = SplitsPerCluster,
+      graphProbe: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
     val kc = manifest.kc
     val centroids = manifest.centroids
+    val metric = graft.cluster.Distance.byName(manifest.distance)
+    // the persisted graph's edges are SqEuclidean-kNN; under another Dc
+    // the probe falls back to the naive exact argsort
+    val useGraph = graphProbe.getOrElse(kc > GraphProbeKcThreshold) &&
+      (metric eq graft.cluster.Distance.SqEuclidean)
+    // P2: the persisted adjacency when present, else a deterministic
+    // rebuild (pre-r2 manifests)
+    lazy val graph =
+      if (manifest.coarse_graph.nonEmpty)
+        new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph)
+      else new graft.cluster.GraphCoarseSearch(centroids)
     // pre-r2 manifests have no granule window: single split
     val window = if (manifest.granule_window > 0) manifest.granule_window
       else Long.MaxValue
@@ -71,18 +91,24 @@ object IndexSearcher {
       val probed: Set[Int] =
         if (w >= kc) (0 until kc).toSet
         else {
-          // Q2 coarse search: distance of the query's term-vector to each
-          // centroid, take top-w (ties toward lower cluster id — matches
-          // the reference's stable sortperm).
           val feat = CoarseClusterer
             .features(terms)
             .map(_.toDouble)
-          CoarseClusterer.distances(feat, centroids)
-            .zipWithIndex
-            .sortBy { case (d, c) => (d, c) }
-            .take(w)
-            .map(_._2)
-            .toSet
+          if (useGraph)
+            // Q3 coarse search: greedy graph probe over the persisted
+            // kNN adjacency; ef defaults high enough that small kc
+            // degenerates to exact (GraphCoarseSearchSpec property)
+            graph.probe(feat, w, ef = math.max(16, 2 * w)).toSet
+          else
+            // Q2 coarse search: distance of the query's term-vector to
+            // each centroid, take top-w (ties toward lower cluster id —
+            // matches the reference's stable sortperm).
+            CoarseClusterer.distances(feat, centroids, metric)
+              .zipWithIndex
+              .sortBy { case (d, c) => (d, c) }
+              .take(w)
+              .map(_._2)
+              .toSet
         }
       QuerySpec(qid, withQtf, probed)
     }

@@ -14,10 +14,51 @@ import graft.maintain.Maintenance
   * (/root/reference/docs/src/examples.md:85-92) is the closest analog —
   * the graft expresses it as micro-batch segment appends (SURVEY.md
   * §2.5): each batch gets insertion-order docIDs continuing from the
-  * current num_docs, exactly `push!`'s id semantics, with exactly-once
-  * source tracking from the stream checkpoint.
+  * current num_docs, exactly `push!`'s id semantics.
+  *
+  * foreachBatch is AT-LEAST-once: a crash between a completed append
+  * and the checkpoint commit replays the batch. The sink is made
+  * idempotent by recording the last applied batchId in a sidecar file
+  * inside the index dir and skipping batchId <= lastApplied on replay
+  * [ADVICE r1] — together with the stream checkpoint this yields
+  * effective exactly-once indexing.
   */
 object StreamingAppend {
+
+  private def appliedPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "stream_last_batch.json")
+
+  /** Last batchId applied to this index (−1 if none). */
+  def lastAppliedBatch(indexDir: String): Long = {
+    val p = appliedPath(indexDir)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+  }
+
+  private def recordApplied(indexDir: String, batchId: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      appliedPath(indexDir).toString + ".tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp, appliedPath(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Idempotent micro-batch application; returns true iff the batch was
+    * newly indexed (false = replay skipped).
+    */
+  def applyBatch(indexDir: String, batch: DataFrame, batchId: Long): Boolean =
+    if (batchId <= lastAppliedBatch(indexDir)) {
+      System.err.println(
+        s"[stream] batch $batchId already applied - skipping replay")
+      false
+    } else {
+      if (!batch.isEmpty)
+        Maintenance.append(batch.sparkSession, indexDir, batch)
+      recordApplied(indexDir, batchId)
+      System.err.println(s"[stream] batch $batchId applied")
+      !batch.isEmpty
+    }
 
   /** The input_hint table shape. */
   val sourceSchema: StructType = StructType(Seq(
@@ -43,11 +84,7 @@ object StreamingAppend {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Maintenance.append(batch.sparkSession, indexDir, batch)
-          System.err.println(
-            s"[stream] batch $batchId appended ${batch.count()} docs")
-        }
+        applyBatch(indexDir, batch, batchId); ()
       }
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.build.{IndexBuilder, ManifestIO}
+import graft.cluster.{Distance, GraphCoarseSearch}
+import graft.query.{Bm25SqlPath, IndexSearcher, QuerySet}
+import graft.sources.Corpus
+
+/** Round-2 features: persisted coarse graph (P2), graph-routed probing
+  * (Q3 wired into knn_search — the reference exercises both quantizer
+  * types, /root/reference/test/search.jl:3), pluggable coarse distance
+  * (the Dc parameter, /root/reference/src/index.jl:40-41), query-side
+  * granule splits, and idempotent streaming appends.
+  */
+class Round2Spec extends SparkSpec {
+
+  lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft-r2-idx").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    dir
+  }
+
+  test("P2: manifest persists the coarse graph; roundtrip == rebuild") {
+    val m = ManifestIO.read(s"$indexDir/manifest.json")
+    assert(m.coarse_graph.nonEmpty)
+    // field-by-field roundtrip vs a deterministic rebuild (the graft of
+    // /root/reference/test/persistency.jl:38-89's per-field asserts)
+    val rebuilt = GraphCoarseSearch.buildEdges(m.centroids)
+    assert(m.coarse_graph.length == rebuilt.length)
+    m.coarse_graph.zip(rebuilt).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    assert(m.granule_window > 0)
+    assert(m.distance == "sqeuclidean")
+  }
+
+  test("Q3 wired: graph-probed w<kc search == naive-probed (ef >= kc)") {
+    val kc = ManifestIO.read(s"$indexDir/manifest.json").kc
+    assert(kc >= 2)
+    (1 to math.min(3, kc)).foreach { w =>
+      val naive = IndexSearcher.topK(spark, indexDir,
+        QuerySet.queries.take(5), 10, w = w, graphProbe = Some(false))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // ef >= kc makes the greedy probe exact (GraphCoarseSearchSpec
+      // property), so the two coarse quantizers must agree rank-for-rank
+      val graphed = IndexSearcher.topK(spark, indexDir,
+        QuerySet.queries.take(5), 10, w = w, graphProbe = Some(true))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(graphed.toSeq == naive.toSeq, s"w=$w")
+    }
+  }
+
+  test("granule splits: splitsPerCluster 1 vs 4 vs 8 identical ranks") {
+    val base = IndexSearcher.topK(spark, indexDir, QuerySet.queries, 10,
+      splitsPerCluster = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    Seq(4, 8).foreach { s =>
+      val split = IndexSearcher.topK(spark, indexDir, QuerySet.queries, 10,
+        splitsPerCluster = s)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(split.toSeq == base.toSeq, s"splits=$s")
+    }
+  }
+
+  test("Dc pluggable: cosine coarse assignment, rank-identical results") {
+    val dir = Files.createTempDirectory("graft-r2-cos").toString
+    IndexBuilder.build(spark, sf0001, dir, IndexBuilder.BuildConfig(
+      resume = false, distance = Distance.Cosine))
+    val m = ManifestIO.read(s"$dir/manifest.json")
+    assert(m.distance == "cosine")
+    assert(m.partitions.map(_.num_docs).sum == m.num_docs)
+    // BM25 scores never read the metric: full-probe results must match
+    // the declarative path exactly even under a different partitioning
+    val wand = IndexSearcher.topK(spark, dir, QuerySet.queries.take(10), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val sql = Bm25SqlPath
+      .topK(spark, Corpus.docs(spark, sf0001), QuerySet.queries.take(10), 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(wand.toSeq == sql.toSeq)
+  }
+
+  test("streaming appends are idempotent under batch replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-r2-stream").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    val n0 = ManifestIO.read(s"$dir/manifest.json").num_docs
+    val batch = Seq(("repo-s", "src/s/a.c", "beef00000001", "c",
+      "replay guard zebra quail")).toDF(
+      "repo", "path", "commit", "lang", "content")
+    assert(graft.streaming.StreamingAppend.applyBatch(dir, batch, 0L))
+    val n1 = ManifestIO.read(s"$dir/manifest.json").num_docs
+    assert(n1 == n0 + 1)
+    // the at-least-once replay: same batchId must be a no-op
+    assert(!graft.streaming.StreamingAppend.applyBatch(dir, batch, 0L))
+    assert(ManifestIO.read(s"$dir/manifest.json").num_docs == n1)
+    assert(graft.streaming.StreamingAppend.lastAppliedBatch(dir) == 0L)
+  }
+}
