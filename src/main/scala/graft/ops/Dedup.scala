@@ -79,16 +79,25 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: (doc_id, i, mh) for i in 0..H-1. */
+  /** MinHash signatures: (doc_id, i, mh) for i in 0..H-1.
+    *
+    * ONE wide aggregation with H min-columns instead of a crossJoin
+    * row-blowup ×H: map-side partial aggregation collapses each doc's
+    * shingles before the shuffle, so the exchange carries one row per
+    * (doc, partial) instead of H× the shingle count. Values identical
+    * (same hash arithmetic), same oracle.
+    */
   def minhash(spark: SparkSession, sh: DataFrame): DataFrame = {
-    import spark.implicits._
-    val params = HashParams.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }
-      .toDF("i", "a", "b")
+    val aggs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
+    }
+    val unpivot = (0 until HashParams.size).map(i =>
+      struct(lit(i).as("i"), col(s"mh$i").as("mh")))
     sh.withColumn("h", hash60(col("shingle")) % P)
-      .crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), explode(array(unpivot: _*)).as("im"))
+      .select(col("doc_id"), col("im.i").as("i"), col("im.mh").as("mh"))
   }
 
   /** LSH candidate pairs (doc_a < doc_b) from banded signatures. */
@@ -192,25 +201,26 @@ object Dedup {
     * hash60(term)) > 0.
     */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bits = (0 until 60).toDF("bit")
+    // ONE wide aggregation with 60 signed-sum columns instead of a
+    // crossJoin row-blowup ×60 + a second shuffle: partial aggregation
+    // collapses per-doc terms map-side; the fingerprint assembles from
+    // the 60 sums in a single projection. Identical values, same oracle.
     val tf = docs
       .select(col("doc_id"),
         explode(Tokenizer.tokensCol(col("content"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", hash60(col("term")))
-    tf.crossJoin(broadcast(bits))
-      .withColumn("v",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1,
-          col("tf")).otherwise(-col("tf")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("v")).as("s"))
-      .withColumn("contrib",
-        when(col("s") > 0, expr("shiftleft(1L, bit)"))
-          .otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("fingerprint"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$b")
+    }
+    val fingerprint = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tf.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("fingerprint"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, by
@@ -234,22 +244,22 @@ object Dedup {
         shiftright(col("fingerprint"), lo)
           .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
     }
-    val banded = fp.select(col("doc_id"),
+    // fingerprints ride along on the banded rows, so the Hamming verify
+    // runs INLINE in the band join's codegen filter — within-bucket
+    // candidates are streamed, never materialized/deduped/re-joined
+    val banded = fp.select(col("doc_id"), col("fingerprint"),
       explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val cands = banded.as("x").join(banded.as("y"),
+      .select(col("doc_id"), col("fingerprint"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(fp.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(fp.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("hamming",
-        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))
+        bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("hamming").cast("int").as("hamming"))
+      .distinct() // a close pair can agree on several bands
       .orderBy("doc_a", "doc_b")
   }
 

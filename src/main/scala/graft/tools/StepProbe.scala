@@ -1,11 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Diagnostic: full-build wall time at configurable thread levels, for
-  * picking the bench's N -> 4N pair. Not part of the engine.
+/** Diagnostic main: full-build wall time at configurable thread levels
+  * (GRAFT_PROBE_LEVELS, default "4,1,4"), the tool used to calibrate the
+  * bench's N -> 4N pair and partitioning. Not part of the engine.
   */
 object StepProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("GRAFT_PROBE_SF", "/root/testdata/sf0.1")
     val levels = sys.env.getOrElse("GRAFT_PROBE_LEVELS", "4,1,4")
       .split(",").map(_.trim.toInt)
     val amplify = sys.env.getOrElse("GRAFT_PROBE_AMPLIFY", "52").toInt
@@ -15,16 +16,10 @@ object StepProbe {
         .appName(s"probe-$n")
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", (256*1024).toString)
-        .config("spark.sql.files.openCostInBytes", (64*1024).toString)
+        .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+        .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
         .config("spark.local.dir", "/dev/shm/graft-spark-local")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.shuffle.compress", sys.env.getOrElse("GRAFT_PROBE_SHUF_COMPRESS", "true"))
-        .config("spark.shuffle.spill.compress", sys.env.getOrElse("GRAFT_PROBE_SHUF_COMPRESS", "true"))
-        .config("spark.sql.inMemoryColumnarStorage.compressed", sys.env.getOrElse("GRAFT_PROBE_CACHE_COMPRESS", "true"))
-        .config("spark.sql.parquet.compression.codec", sys.env.getOrElse("GRAFT_PROBE_PQ_CODEC", "snappy"))
-        .config("spark.shuffle.file.buffer", sys.env.getOrElse("GRAFT_PROBE_SHUF_BUF", "32k"))
-        .config("spark.shuffle.unsafe.file.output.buffer", sys.env.getOrElse("GRAFT_PROBE_SHUF_BUF", "32k"))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       val dir = java.nio.file.Files.createTempDirectory(
@@ -32,8 +27,9 @@ object StepProbe {
       val t0 = System.nanoTime()
       val r = graft.build.IndexBuilder.build(s, sfDir, dir,
         graft.build.IndexBuilder.BuildConfig(resume = false, amplify = amplify))
-      val wall = (System.nanoTime()-t0)/1e9
-      System.err.println(f"[probe] local[$n] total=$wall%.2fs fps=${r.filesPerSec}%.0f")
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[probe] local[$n] total=$wall%.2fs fps=${r.filesPerSec}%.0f")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       s.stop()
     }
