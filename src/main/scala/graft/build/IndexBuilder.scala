@@ -231,11 +231,22 @@ object IndexBuilder {
         count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
           (0 until kc).map(c =>
             sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
-      CoarseClusterer.withClusterId(docs, centroids, cfg.distance)
+      val clustered = CoarseClusterer
+        .withClusterId(docs, centroids, cfg.distance)
         .observe(obs, metrics.head, metrics.tail: _*)
-        .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
-        .repartition(parts, col("_slot"))
-        .drop("_slot")
+      // granule-slot exchange ahead of the write: each task holds a few
+      // CONTIGUOUS (cluster, doc range) slices → ~2 files per cluster
+      // instead of tasks × clusters; measured faster end-to-end than
+      // writing from the dense-id partitioning despite the extra
+      // shuffle (GRAFT_DOCSTORE_SHUFFLE=0 opts out for experiments)
+      val toWrite =
+        if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "1")
+          clustered
+            .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
+            .repartition(parts, col("_slot"))
+            .drop("_slot")
+        else clustered
+      toWrite
         .sortWithinPartitions(col("cluster_id"), col("doc_id"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")

@@ -113,6 +113,11 @@ object Corpus {
     val offMap = typedlit(offsets.toMap)
     val w = Window.partitionBy(col("_pid")).orderBy(cols: _*)
     val out = sorted
+      // EXPLICIT _pid exchange ahead of the window: the implicit one AQE
+      // inserts gets coalesced (~5 partitions at bench volume), which
+      // capped the downstream write stage below the core count; an
+      // explicit width is kept verbatim
+      .repartition(parts, col("_pid"))
       .withColumn("_rn", row_number().over(w))
       .withColumn(idCol,
         col("_rn") + element_at(offMap, col("_pid")) - 1)
