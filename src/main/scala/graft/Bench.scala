@@ -136,7 +136,7 @@ object Bench {
       // noise on the shared sandbox host is ±30% and time-correlated, so
       // interleaving + min isolates the machine's actual capability at
       // each level. All reps are reported for transparency.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       var files = 0L
       val times = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)
