@@ -66,6 +66,59 @@ object CoarseClusterer {
     v
   }
 
+  /** MurmurHash3.stringHash of the LOWERCASED span [start,end) of `s`,
+    * computed in place — bit-identical to
+    * `stringHash(s.substring(start,end).toLowerCase, seed)` for ASCII
+    * token chars, with zero allocation. Keeping it identical matters:
+    * centroids (and thus golden w<kc results) must not move.
+    */
+  private def spanHash(s: String, start: Int, end: Int, seed: Int): Int = {
+    import scala.util.hashing.MurmurHash3.{finalizeHash, mix, mixLast}
+    @inline def lc(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    var h = seed
+    var i = start
+    while (i + 1 < end) {
+      val data = (lc(s.charAt(i)) << 16) + lc(s.charAt(i + 1))
+      h = mix(h, data)
+      i += 2
+    }
+    if (i < end) h = mixLast(h, lc(s.charAt(i)).toInt)
+    finalizeHash(h, end - start)
+  }
+
+  /** Fused tokenize+hash feature extraction: ONE char scan, no token
+    * String allocation — the hottest per-doc path of the build (the
+    * docstore write job runs it over every doc). Identical output to
+    * `features(Tokenizer.tokenize(content))` (property-tested); any
+    * non-ASCII doc falls back to exactly that.
+    */
+  def featuresOf(content: String): Array[Long] = {
+    val n = content.length
+    var i = 0
+    while (i < n) {
+      if (content.charAt(i) >= 0x80)
+        return features(Tokenizer.tokenize(content))
+      i += 1
+    }
+    val v = new Array[Long](Dim)
+    i = 0
+    var start = -1
+    while (i <= n) {
+      val ch = if (i < n) content.charAt(i) else ' '
+      val isTok = (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+        (ch >= '0' && ch <= '9') || ch == '_'
+      if (isTok) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val h = spanHash(content, start, i, HashSeed)
+        v(java.lang.Math.floorMod(h, Dim)) += 1L
+        start = -1
+      }
+      i += 1
+    }
+    v
+  }
+
   /** Pure: argmin over centroids of `dist`, ties to the lower cluster id
     * (matches sortperm stability of the reference's coarse search,
     * /root/reference/src/coarsequantizers.jl:35). The SqEuclidean
@@ -113,8 +166,7 @@ object CoarseClusterer {
       dist: Distance = Distance.SqEuclidean): Array[Double] =
     centroids.map(ctr => dist(feat, ctr))
 
-  private def featCol =
-    udf((content: String) => features(Tokenizer.tokenize(content)))
+  private def featCol = udf((content: String) => featuresOf(content))
 
   /** Adds a `feat` column (Array[Long] hashed term counts) to docs —
     * one char-scan pass per doc, no regex/explode.

@@ -81,6 +81,26 @@ class Round2Spec extends SparkSpec {
     assert(wand.toSeq == sql.toSeq)
   }
 
+  test("property: fused featuresOf == features(tokenize) on arbitrary text") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val texts = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', '_', '(', ')', '\n')),
+      (1, Gen.oneOf('é', 'λ', '中')))).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(texts) { t =>
+        graft.cluster.CoarseClusterer.featuresOf(t).toSeq ==
+          graft.cluster.CoarseClusterer
+            .features(graft.tokenize.Tokenizer.tokenize(t)).toSeq
+      })
+    assert(res.passed, res.status.toString)
+    // mixed-case identifiers hit the in-place lowercasing path
+    val s = "FooBar_Baz qux42 QUX42 __x9 a"
+    assert(graft.cluster.CoarseClusterer.featuresOf(s).toSeq ==
+      graft.cluster.CoarseClusterer
+        .features(graft.tokenize.Tokenizer.tokenize(s)).toSeq)
+  }
+
   test("streaming appends are idempotent under batch replay") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-r2-stream").toString
