@@ -58,7 +58,7 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // scaling corpus targets a fixed doc count (compute-bound but quick)
     // regardless of the base SF's size
-    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "524288").toLong
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1048576").toLong
 
     // ---- per-query timings at the requested parallelism ----------------
     // Queries run FIRST (fresh JVM, fresh page cache): in round 1 they
@@ -136,7 +136,7 @@ object Bench {
       // noise on the shared sandbox host is ±30% and time-correlated, so
       // interleaving + min isolates the machine's actual capability at
       // each level. All reps are reported for transparency.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       var files = 0L
       val times = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)

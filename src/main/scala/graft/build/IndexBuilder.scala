@@ -154,9 +154,13 @@ object IndexBuilder {
         s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")} " +
         s"dist=${cfg.distance.getClass.getSimpleName}"
     val fpPath = Paths.get(indexDir, "_checkpoints", "fingerprint.txt")
-    if (cfg.resume && Files.exists(fpPath) &&
-        new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8)
-          != fingerprint) {
+    val fpMatches = Files.exists(fpPath) &&
+      new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8) ==
+        fingerprint
+    // no fingerprint but markers present = a pre-fingerprint-era or
+    // partially-wiped dir: equally stale
+    if (cfg.resume && !fpMatches &&
+        Files.isDirectory(Paths.get(indexDir, "_checkpoints"))) {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$indexDir/_checkpoints"))
       org.apache.commons.io.FileUtils.deleteQuietly(

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Indexes {
 
   /** Bump when the on-disk index format changes. */
-  val FormatVersion = 4
+  val FormatVersion = 5 // r2: granule windows, coarse_graph, distance
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
