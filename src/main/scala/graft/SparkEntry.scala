@@ -150,12 +150,18 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDups(s, docs(s, dir), 0.5)),
 
+    // EXACT n-gram Jaccard near-dup — the minhash pipeline's exact
+    // twin: inverted-index self-join candidates (complete by
+    // construction) + the same exact verify.
+    "q_dedup_ngram" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardNearDups(docs(s, dir), 0.5)),
+
     // SimHash fingerprints + Hamming-distance pairs.
     "q_dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashNearDups(s, docs(s, dir), 3)),
 
-    // Embedding-cosine near-dup pairs (brute force at sandbox scale;
-    // the IVF bucketing above is the scale path).
+    // Embedding-cosine near-dup pairs (kmeans cells + radius-pruned
+    // cell-pair join + chunked exact kernels).
     "q_dedup_embed" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
@@ -285,6 +291,8 @@ object SparkEntry {
          |ORDER BY content_sha""".stripMargin,
 
     "q_dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(0.5),
+
+    "q_dedup_ngram" -> graft.ops.Dedup.ngramJaccardOracleSql(0.5),
 
     "q_dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
 

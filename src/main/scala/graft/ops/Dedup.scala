@@ -146,6 +146,59 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** EXACT n-gram Jaccard near-dup (the minhash pipeline's exact twin):
+    * candidate pairs are docs sharing ≥1 shingle — provably COMPLETE
+    * (jaccard > 0 requires a shared shingle) — then the same exact
+    * verify. The candidate join is an inverted-index self-join keyed by
+    * shingle: high-cardinality and skew-free except for stop-shingles,
+    * whose df² blowup is the reason the LSH variant exists at scale
+    * (prefix/positional filtering à la PPJoin is the exact scale path).
+    */
+  def ngramJaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).cache()
+    val cands = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** DuckDB oracle for [[ngramJaccardNearDups]]. */
+  def ngramJaccardOracleSql(threshold: Double): String =
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |tok AS (
+       |  SELECT doc_id, unnest(${Tokenizer.sqlTokensExpr("content")}) AS term,
+       |         generate_subscripts(${Tokenizer.sqlTokensExpr("content")}, 1) AS pos
+       |  FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         term || ' ' || t1 || ' ' || t2 AS shingle
+       |  FROM (
+       |    SELECT doc_id, pos, term,
+       |           lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+       |           lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+       |    FROM tok)
+       |  WHERE t2 IS NOT NULL),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB oracle for [[minhashNearDups]] over the derived docs CTEs. */
   def minhashOracleSql(threshold: Double): String = {
     val paramRows = HashParams.zipWithIndex
