@@ -156,12 +156,23 @@ object Dedup {
     */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).cache()
-    val cands = sh.as("a").join(sh.as("b"),
+    // the self-join IS the intersection enumeration: counting matches
+    // per pair directly saves the candidates→distinct→re-join round
+    // trip (shingles are distinct per doc, so count(*) = |A ∩ B|)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, sh, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** DuckDB oracle for [[ngramJaccardNearDups]]. */

@@ -13,13 +13,16 @@ import graft.model.ScorerBlock
   * the graft lifecycle (SURVEY.md §3.2):
   *
   *   query terms → idf lookup (dictionary scan pruned to the terms) →
-  *   probed clusters (driver argsort over manifest centroids — Q2) →
+  *   probed clusters (driver argsort over manifest centroids — Q2 — or
+  *   the persisted kNN graph's greedy probe — Q3) →
   *   postings scan with PARTITION PRUNING on cluster_id + predicate
-  *   pushdown on term → one repartition(cluster_id) so each task owns
-  *   whole clusters → block-max WAND `mapPartitions` scorer with local
-  *   bounded top-k (Q6/Q7) → global TakeOrderedAndProject-style merge.
+  *   pushdown on term → one repartition(cluster_id, granule split) so a
+  *   hot cluster fans out over several tasks → sorted-run STREAMING
+  *   block-max WAND `mapPartitions` scorer with local bounded top-k
+  *   (Q6/Q7) → global TakeOrderedAndProject-style merge (valid because
+  *   granule containment keeps each doc's whole score in one split).
   *
-  * Batch queries (Q8) run in the SAME job: each cluster's term lists are
+  * Batch queries (Q8) run in the SAME job: each group's term lists are
   * decoded once and reused across all queries probing that cluster —
   * where Spark beats the reference's sequential query loop
   * (/root/reference/src/index.jl:261-273).
