@@ -52,6 +52,18 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("granule containment: every block lies inside ONE window") {
+    import org.apache.spark.sql.functions._
+    // the invariant the query-side split key, segment merge, and append
+    // all rely on: a posting block never crosses its granule boundary
+    val window = ManifestIO.read(s"$indexDir/manifest.json").granule_window
+    assert(window > 0)
+    val crossers = spark.read.parquet(s"$indexDir/postings")
+      .filter(expr(s"first_doc div $window") =!= expr(s"last_doc div $window"))
+      .count()
+    assert(crossers == 0)
+  }
+
   test("granule splits: splitsPerCluster 1 vs 4 vs 8 identical ranks") {
     val base = IndexSearcher.topK(spark, indexDir, QuerySet.queries, 10,
       splitsPerCluster = 1)
