@@ -128,10 +128,6 @@ object IndexSearcher {
       .map(r => r.getString(0) -> r.getDouble(1))
       .toMap
 
-    val queriesBc = spark.sparkContext.broadcast(parsed)
-    val idfBc = spark.sparkContext.broadcast(idfMap)
-    val tombstonesBc = spark.sparkContext.broadcast(
-      graft.maintain.Maintenance.loadTombstones(indexDir))
     val avgdl = manifest.avgdl
     val kLocal = k
 
@@ -149,59 +145,23 @@ object IndexSearcher {
       .withColumn("_split",
         pmod(expr(s"first_doc div $window"), lit(splits)))
 
-    val localHits = blocks
-      .repartition(col("cluster_id"), col("_split"))
-      .sortWithinPartitions(col("cluster_id"), col("_split"), col("term"),
-        col("first_doc"))
-      .as[ScorerBlock]
-      .mapPartitions { it =>
-        val qs = queriesBc.value
-        val idf = idfBc.value
-        val dead = tombstonesBc.value
-        // the shuffle SORTS this task's blocks into (cluster, split,
-        // term, first_doc) order, so the scorer streams one
-        // (cluster, split) group at a time — retained heap is one
-        // group's COMPRESSED blocks, never the whole task's scan
-        // [VERDICT r1 #4: it.toSeq buffered everything]. Runs within a
-        // term cover disjoint doc ranges (granule containment), already
-        // first_doc-sorted for the lazy cursor. Blocks stay compressed
-        // until the WAND cursor touches them (LazyBlockList).
-        val buf = it.buffered
-        def groupKey(b: ScorerBlock): (Int, Long) =
-          (b.cluster_id, (b.first_doc / window) % splits)
-        new Iterator[Iterator[(Int, Long, Double)]] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[(Int, Long, Double)] = {
-            val key = groupKey(buf.head)
-            val cid = key._1
-            val byTerm = scala.collection.mutable.LinkedHashMap
-              .empty[String, scala.collection.mutable.ArrayBuffer[ScorerBlock]]
-            while (buf.hasNext && groupKey(buf.head) == key) {
-              val b = buf.next()
-              byTerm.getOrElseUpdate(b.term,
-                scala.collection.mutable.ArrayBuffer.empty) += b
-            }
-            val cursors = byTerm.map { case (t, bs) =>
-              t -> new Wand.LazyBlockList(
-                bs.toArray, 1.0, idf.getOrElse(t, 0.0), avgdl)
-            }
-            qs.iterator
-              .filter(_.probed.contains(cid))
-              .flatMap { q =>
-                val lists: Array[Wand.PostingCursor] =
-                  q.terms.flatMap { case (t, qtf) =>
-                    cursors.get(t).map { c =>
-                      if (qtf == 1) c: Wand.PostingCursor
-                      else new Wand.WeightedCursor(c, qtf.toDouble)
-                    }
-                  }
-                Wand.topK(lists, kLocal, dead.contains)
-                  .map(h => (q.qid, h.docId, h.score))
-              }
-          }
-        }.flatten
-      }
-      .toDF("query_id", "doc_id", "score")
+    // the scorer is a first-class Catalyst operator: WandScoreExec
+    // DECLARES the (cluster_id, _split) clustering and the
+    // (cluster, split, term, first_doc) ordering it needs, Spark's
+    // EnsureRequirements inserts the exchange + local sort, and the
+    // executed plan shows the scorer by name (asserted in PlanSpec).
+    // Scoring itself streams one (cluster, split) group at a time —
+    // retained heap is one group's COMPRESSED blocks [VERDICT r1 #4],
+    // lazily decoded by the WAND cursors.
+    graft.plans.WandStrategy.setup(spark)
+    val meta = graft.plans.WandMeta(
+      parsed.map(q => (q.qid, q.terms, q.probed)),
+      idfMap,
+      graft.maintain.Maintenance.loadTombstones(indexDir),
+      avgdl, window, splits, kLocal)
+    val localHits = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      graft.plans.WandScore(meta,
+        org.apache.spark.sql.GraftColumnBridge.logicalPlan(blocks)))
 
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

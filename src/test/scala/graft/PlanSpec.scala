@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     assert(w1.count() <= full.count())
   }
 
+  test("scorer is EXPLAIN-visible: WandScore operator + required exchange") {
+    val df = IndexSearcher.topK(spark, indexDir, QuerySet.queries.take(2), 5)
+    assert(df.count() > 0) // finalize the adaptive plan first
+    // the custom physical operator by name (TreeNode strips the Exec
+    // suffix), with the EnsureRequirements-inserted clustering on
+    // (cluster_id, _split) feeding it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WandScore"), plan.take(1500))
+    assert(plan.contains("hashpartitioning(cluster_id"), plan.take(1500))
+  }
+
   test("dictionary lookup prunes to query terms (pushed filter)") {
     val scan = spark.read.parquet(s"$indexDir/dictionary")
       .filter(col("term").isin(QuerySet.flagship: _*))
