@@ -169,6 +169,11 @@ object SparkEntry {
     // Language-ID heuristic (stopword ratios + argmax).
     "q_lang_id" -> ((s, dir) => graft.ops.TextStats.langId(docs(s, dir))),
 
+    // MOSS-style winnowing fingerprints (rolling k-gram hash + window
+    // minima) — the copy-detection primitive.
+    "q_fingerprints" -> ((s, dir) =>
+      graft.ops.TextStats.fingerprints(docs(s, dir))),
+
     // Quality scoring (length/diversity/stopword composite).
     "q_quality" -> ((s, dir) => graft.ops.TextStats.quality(docs(s, dir))),
 
@@ -293,6 +298,8 @@ object SparkEntry {
     "q_dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(0.5),
 
     "q_dedup_ngram" -> graft.ops.Dedup.ngramJaccardOracleSql(0.5),
+
+    "q_fingerprints" -> graft.ops.TextStats.fingerprintsOracleSql,
 
     "q_dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
 

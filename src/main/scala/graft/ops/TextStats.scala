@@ -135,4 +135,67 @@ object TextStats {
        |       count(DISTINCT term) AS vocab
        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** Winnowing k-gram size / window — MOSS-style document
+    * fingerprinting (Schleimer, Wilkerson & Aiken 2003): hash every
+    * k-token gram, keep the MINIMUM hash of each sliding window of
+    * FingerprintW grams. Any shared substring of length >= k + w - 1
+    * tokens is guaranteed to share a fingerprint — the copy-detection
+    * selectivity/coverage tradeoff, as a declarative window-function
+    * pipeline (tail windows shorter than w are included; same rule in
+    * the oracle twin).
+    */
+  val FingerprintK = 5
+  val FingerprintW = 4
+
+  /** (doc_id, fingerprint) — the doc's distinct winnowed fingerprints. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, FingerprintW - 1)
+    val gramCols = (1 until FingerprintK)
+      .map(i => lead(col("term"), i).over(w))
+    docs
+      .select(col("doc_id"),
+        posexplode(tokensC).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos"), col("term"),
+        concat_ws(" ", (col("term") +: gramCols): _*).as("gram"),
+        gramCols.last.isNotNull.as("full"))
+      .filter(col("full")) // only complete k-grams carry a hash
+      .withColumn("h", graft.ops.Dedup.hash60(col("gram")) % Dedup.P)
+      .withColumn("fingerprint", min(col("h")).over(win))
+      .select(col("doc_id"), col("fingerprint"))
+      .distinct()
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  def fingerprintsOracleSql: String = {
+    val toks = Tokenizer.sqlTokensExpr("content")
+    val leads = (1 until FingerprintK)
+      .map(i => s"lead(term, $i) OVER (PARTITION BY doc_id ORDER BY pos)")
+    val gram = ("term" +: leads).mkString(" || ' ' || ")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |tok AS (
+       |  SELECT doc_id, unnest($toks) AS term,
+       |         generate_subscripts($toks, 1) AS pos
+       |  FROM docs),
+       |grams AS (
+       |  SELECT doc_id, pos, $gram AS gram,
+       |         ${leads.last} IS NOT NULL AS isfull
+       |  FROM tok),
+       |hashed AS (
+       |  SELECT doc_id, pos,
+       |         ${Dedup.sqlHash60("gram")} % ${Dedup.P} AS h
+       |  FROM grams WHERE isfull),
+       |winnowed AS (
+       |  SELECT doc_id,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${FingerprintW - 1} FOLLOWING)
+       |           AS fingerprint
+       |  FROM hashed)
+       |SELECT DISTINCT doc_id, fingerprint FROM winnowed
+       |ORDER BY doc_id, fingerprint""".stripMargin
+  }
 }
