@@ -113,6 +113,35 @@ class Round2Spec extends SparkSpec {
         .features(graft.tokenize.Tokenizer.tokenize(s)).toSeq)
   }
 
+  test("determinism: two independent builds agree on all query-visible state") {
+    // the range partitioner's sampled boundaries differ run-to-run
+    // (rddId-seeded), so this catches any dependence of visible state
+    // on partition composition — the property the scaling runs' rank
+    // identity at local[N] vs local[4N] rests on
+    val dir2 = Files.createTempDirectory("graft-r2-det").toString
+    IndexBuilder.build(spark, sf0001, dir2,
+      IndexBuilder.BuildConfig(resume = false))
+    val m1 = ManifestIO.read(s"$indexDir/manifest.json")
+    val m2 = ManifestIO.read(s"$dir2/manifest.json")
+    assert(m1.num_docs == m2.num_docs && m1.avgdl == m2.avgdl &&
+      m1.vocab_size == m2.vocab_size && m1.kc == m2.kc)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.coarse_graph.map(_.toSeq).toSeq ==
+      m2.coarse_graph.map(_.toSeq).toSeq)
+    assert(m1.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings))
+      == m2.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings)))
+    val r1 = IndexSearcher.topK(spark, indexDir, QuerySet.queries, 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val r2 = IndexSearcher.topK(spark, dir2, QuerySet.queries, 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(r1.toSeq == r2.toSeq)
+    val d1 = spark.read.parquet(s"$indexDir/dictionary")
+      .orderBy("term").collect().toSeq
+    val d2 = spark.read.parquet(s"$dir2/dictionary")
+      .orderBy("term").collect().toSeq
+    assert(d1 == d2)
+  }
+
   test("streaming appends are idempotent under batch replay") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-r2-stream").toString
