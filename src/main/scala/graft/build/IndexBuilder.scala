@@ -243,12 +243,19 @@ object IndexBuilder {
       // instead of tasks × clusters; measured faster end-to-end than
       // writing from the dense-id partitioning despite the extra
       // shuffle (GRAFT_DOCSTORE_SHUFFLE=0 opts out for experiments)
+      // content_sha is recomputed on the POST-exchange side: the column
+      // is derivable from content, so shipping it through the shuffle
+      // would pay 64 B/row of exchange bytes (the non-scaling resource)
+      // to save a sha2 recompute (CPU, which scales) — backwards at 4
+      // threads and at 4N executors alike
       val toWrite =
         if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "1")
           clustered
+            .drop("content_sha")
             .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
             .repartition(parts, col("_slot"))
             .drop("_slot")
+            .withColumn("content_sha", sha2(col("content"), 256))
         else clustered
       toWrite
         .sortWithinPartitions(col("cluster_id"), col("doc_id"))
@@ -288,8 +295,13 @@ object IndexBuilder {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$indexDir/postings"))
         val ck = new java.io.File(s"$indexDir/_checkpoints")
+        // batch markers AND per-batch cluster stats: a dir previously
+        // built with a different postingsBatches count would otherwise
+        // leave stale clusterstats_batch_*.json files that
+        // loadAllClusterStats sums into the manifest [ADVICE r2]
         if (ck.isDirectory) ck.listFiles()
-          .filter(_.getName.startsWith("postings_batch_"))
+          .filter(f => f.getName.startsWith("postings_batch_") ||
+            f.getName.startsWith("clusterstats_batch_"))
           .foreach(_.delete())
         saveSegments(indexDir, Seq.empty)
       }
@@ -306,6 +318,28 @@ object IndexBuilder {
           metaLock.synchronized { skip :+= marker }
           None
         } else Some((clusters, bi, bi * 10000))
+      }
+      // ZERO-shuffle postings (r3): the docstore was WRITTEN from
+      // granule-slot tasks sorted by (cluster_id, doc_id), so its files
+      // are already contiguous granule-aligned runs — the encode needs
+      // only a partition-LOCAL sort regardless of how files map to read
+      // partitions (blocks group by (cluster, granule, term) within a
+      // partition; splits keep per-(cluster,term) doc ranges disjoint,
+      // the same invariant appends rely on). Dropping the exchange
+      // removes the build's largest remaining shuffle — full content
+      // rows — which is exactly the stage class that refuses to scale
+      // with threads (BASELINE.md calibration). Read-partition sizing
+      // replaces the exchange's balancing role: target ≈ bytes/parts.
+      // GRAFT_POSTINGS_SHUFFLE=1 opts back into the r2 exchange path.
+      val postingsExchange =
+        sys.env.getOrElse("GRAFT_POSTINGS_SHUFFLE", "0") == "1"
+      val mpbKey = "spark.sql.files.maxPartitionBytes"
+      val mpbPrev = spark.conf.get(mpbKey)
+      if (!postingsExchange) {
+        val totalBytes = org.apache.commons.io.FileUtils
+          .sizeOfDirectory(new java.io.File(s"$indexDir/docstore"))
+        spark.conf.set(mpbKey,
+          math.max(4L << 20, totalBytes / math.max(1, parts)).toString)
       }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -326,12 +360,16 @@ object IndexBuilder {
             new java.io.File(staging))
           val slice = docstore
             .filter(col("cluster_id").isin(clusters: _*))
-          // re-pack THIS batch's granules over all slots (a batch covers
-          // a cluster subset; without re-packing half the slots idle)
-          val batchSlots = GranulePartitioner.slotMap(
-            weights.filter(g => clusters.contains(g._1._1)), parts)
+          // exchange path only: re-pack THIS batch's granules over all
+          // slots (a batch covers a cluster subset; without re-packing
+          // half the slots idle)
+          val batchSlots =
+            if (postingsExchange) GranulePartitioner.slotMap(
+              weights.filter(g => clusters.contains(g._1._1)), parts)
+            else Map.empty[(Int, Long), Int]
           val (blocks, acc, cacc) = encodeBlocks(spark, slice, avgdl,
-            segOffset, stats.granule_window, batchSlots)
+            segOffset, stats.granule_window, batchSlots,
+            exchange = postingsExchange)
           blocks.write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(staging)
@@ -361,7 +399,8 @@ object IndexBuilder {
           }
         }
       }
-      jobs.foreach(Await.result(_, Duration.Inf))
+      try jobs.foreach(Await.result(_, Duration.Inf))
+      finally spark.conf.set(mpbKey, mpbPrev)
     }
 
     // ---- step 3: dictionary (df/cf/idf from block metadata) ------------
@@ -417,7 +456,8 @@ object IndexBuilder {
       avgdl: Double,
       segmentOffset: Int,
       window: Long,
-      slots: Map[(Int, Long), Int] = Map.empty):
+      slots: Map[(Int, Long), Int] = Map.empty,
+      exchange: Boolean = true):
       (org.apache.spark.sql.Dataset[PostingBlock],
       CollectionAccumulator[SegmentMeta], CollectionAccumulator[ClusterStat]) = {
     import spark.implicits._
@@ -429,20 +469,27 @@ object IndexBuilder {
     val parts = spark.sessionState.conf.numShufflePartitions
     val w = window
 
-    // The exchange moves DOC rows to their granule slot and the
+    // With exchange=true, DOC rows move to their granule slot and the
     // tokenize/explode runs AFTER it, partition-locally: the shuffle
     // carries the text once (~3-5× fewer bytes than shuffling exploded
     // posting rows), and the (cluster, granule, term, doc) ordering is
-    // restored by a LOCAL external sort — no second exchange. Both the
-    // explode and the sort scale linearly with cores; shuffle bytes are
-    // the part that doesn't, so they are minimized.
-    val blocks = docs
+    // restored by a LOCAL external sort — no second exchange.
+    // With exchange=false (the build path, r3), even that shuffle is
+    // gone: the input (granule-aligned docstore files) streams straight
+    // into the local sort — block correctness never depended on the
+    // placement, only on the local sort, since blocks group by
+    // (cluster, granule, term) within each partition.
+    val selected = docs
       .select(col("doc_id"), col("cluster_id"), col("content"),
         col("doc_len"))
-      .withColumn("_slot", GranulePartitioner
-        .slotKeyCol(slots, w, parts)(col("cluster_id"), col("doc_id")))
-      .repartition(parts, col("_slot"))
-      .drop("_slot")
+    val routed =
+      if (exchange) selected
+        .withColumn("_slot", GranulePartitioner
+          .slotKeyCol(slots, w, parts)(col("cluster_id"), col("doc_id")))
+        .repartition(parts, col("_slot"))
+        .drop("_slot")
+      else selected
+    val blocks = routed
       .as[(Long, Int, String, Int)]
       .flatMap { case (docId, clusterId, content, dl) =>
         val toks = Tokenizer.tokenize(content)

@@ -215,8 +215,10 @@ object Maintenance {
       acc.value.asScala.toSeq.sortBy(_.segment_id)
     }
     IndexBuilder.replaceSegments(indexDir, segs)
+    // preserve the granule window: CorpusStats' default (1) would make
+    // the stats.json checkpoint disagree with the manifest [ADVICE r2]
     IndexBuilder.saveStatsPublic(indexDir,
-      IndexBuilder.CorpusStats(n, sumDl))
+      IndexBuilder.CorpusStats(n, sumDl, manifest0.granule_window))
     IndexBuilder.writeDictionary(spark, indexDir, n)
     IndexBuilder.writeManifest(spark, indexDir, n, avgdl,
       manifest0.lineage.source_dir,

@@ -27,6 +27,42 @@ object IvfAdc {
       centroids: Array[Array[Double]],
       codebooks: Pq.Codebooks)
 
+  // ---- model persistence (the reference's save_index/load_index
+  // surface for the ADC model, /root/reference/src/persistency.jl:
+  // coarse centroids + codebooks + Dr name + :opq rotation) ------------
+
+  private case class ModelDto(
+      kc: Int,
+      centroids: Array[Array[Double]],
+      m: Int, k: Int, subLen: Int,
+      books: Array[Array[Array[Double]]],
+      dist: String,
+      rotation: Array[Array[Double]]) // null = no rotation (:pq)
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  def save(path: String, model: Model): Unit = {
+    val cb = model.codebooks
+    val dto = ModelDto(model.kc, model.centroids, cb.m, cb.k, cb.subLen,
+      cb.books, graft.cluster.Distance.name(cb.dist),
+      cb.rotation.orNull)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(dto))
+  }
+
+  def load(path: String): Model = {
+    val dto = mapper.readValue(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      classOf[ModelDto])
+    Model(dto.kc, dto.centroids,
+      Pq.Codebooks(dto.m, dto.k, dto.subLen, dto.books,
+        graft.cluster.Distance.byName(dto.dist), Option(dto.rotation)))
+  }
+
   final case class Encoded(vec_id: Long, cluster_id: Int, codes: Array[Byte])
 
   def coarseAssign(v: Array[Float], centroids: Array[Array[Double]]): Int = {
@@ -46,6 +82,12 @@ object IvfAdc {
 
   /** Train on a deterministic sample (vec_id-ordered) and encode the full
     * set. Returns the model + encoded Dataset (cached by caller).
+    *
+    * `quantDist` = the reference's Dr kwarg
+    * (/root/reference/src/index.jl:109, default SqEuclidean at
+    * src/defaults.jl:8); `method` = `quantization_method` :pq|:opq
+    * (index.jl:110) — :opq trains + persists a rotation
+    * (src/persistency.jl:62-64 analog).
     */
   def build(
       spark: SparkSession,
@@ -54,7 +96,9 @@ object IvfAdc {
       m: Int,
       k: Int,
       maxIter: Int = 10,
-      sampleCap: Int = 20000): (Model, DataFrame) = {
+      sampleCap: Int = 20000,
+      quantDist: graft.cluster.Distance = graft.cluster.Distance.SqEuclidean,
+      method: String = "pq"): (Model, DataFrame) = {
     import spark.implicits._
 
     val ds = embeddings
@@ -72,7 +116,7 @@ object IvfAdc {
     val residuals = sample.map { case (_, v) =>
       residual(v, centroids(coarseAssign(v, centroids)))
     }
-    val codebooks = Pq.train(residuals, m, k, maxIter)
+    val codebooks = Pq.train(residuals, m, k, maxIter, quantDist, method)
     val model = Model(centroids.length, centroids, codebooks)
 
     val bc = spark.sparkContext.broadcast(model)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -65,7 +64,9 @@ object Corpus {
     * funnel all rows through ONE partition. Instead:
     * range-repartition on the sort key (global order across partitions),
     * count rows per partition (one light job), then
-    * id = per-partition row_number + broadcast partition offset.
+    * id = partition offset + partition-local row index, assigned by a
+    * stateful leaf expression (PartitionOffsetRowIndex) streaming the
+    * sorted partitions in place — no second exchange.
     * Equivalent to the global row_number because the sort key is unique.
     */
   def withDenseId(
@@ -107,21 +108,16 @@ object Corpus {
       .sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    // offsets as a literal map lookup, not a broadcast join: ≤ one entry
-    // per shuffle partition, and the join ran two extra driver jobs
-    // (createDataFrame + broadcast) per build
-    val offMap = typedlit(offsets.toMap)
-    val w = Window.partitionBy(col("_pid")).orderBy(cols: _*)
+    // id = partition offset + local row index, via a stateful leaf
+    // expression over the ALREADY range-partitioned-and-sorted cache.
+    // The r2 form (`row_number() OVER (PARTITION BY _pid)`) forced a
+    // second full exchange of content rows — Catalyst can't know the
+    // data is already clustered by its own partition id — which was the
+    // single largest avoidable shuffle in the build [VERDICT r2 #1b].
     val out = sorted
-      // EXPLICIT _pid exchange ahead of the window: the implicit one AQE
-      // inserts gets coalesced (~5 partitions at bench volume), which
-      // capped the downstream write stage below the core count; an
-      // explicit width is kept verbatim
-      .repartition(parts, col("_pid"))
-      .withColumn("_rn", row_number().over(w))
       .withColumn(idCol,
-        col("_rn") + element_at(offMap, col("_pid")) - 1)
-      .drop("_pid", "_rn")
+        graft.functions.PartitionOffsetRowIndex.col(offsets.toMap))
+      .drop("_pid")
     DenseId(out, counts.map(_._2).sum, () => { sorted.unpersist(); () })
   }
 

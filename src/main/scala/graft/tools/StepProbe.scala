@@ -14,6 +14,8 @@ object StepProbe {
     levels.foreach { n =>
       val s = SparkSession.builder().master(s"local[$n]")
         .appName(s"probe-$n")
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("GRAFT_PROBE_CODEC", "lz4"))
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)

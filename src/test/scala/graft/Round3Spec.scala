@@ -1,0 +1,259 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.build.{IndexBuilder, ManifestIO}
+import graft.cluster.Distance
+import graft.maintain.Maintenance
+import graft.ops.Dedup
+import graft.parity.{IvfAdc, Pq}
+import graft.sources.Corpus
+import graft.streaming.StreamingAppend
+
+/** Round-3 features: exchange-free dense-id assignment
+  * (PartitionOffsetRowIndex), PPJoin prefix-filtered exact n-gram
+  * Jaccard, streaming partial-append rollback, pluggable Dr
+  * quantization distance and :opq rotation
+  * (/root/reference/src/index.jl:109-110), resume-wipe covering
+  * cluster-stats checkpoints, and merge preserving the granule window.
+  */
+class Round3Spec extends SparkSpec {
+
+  // ------------------------------------------------------------------
+  // dense ids without the second exchange
+  // ------------------------------------------------------------------
+
+  test("PartitionOffsetRowIndex: dense 0..n-1 ids in global sort order") {
+    val df = spark.range(0, 1000).toDF("x")
+      .withColumn("key",
+        concat(lit("k"), lpad(col("x").cast("string"), 5, "0")))
+      .repartition(7) // scattered input
+    val dense = Corpus.withDenseIdCounted(df, Seq("key"), "id")
+    assert(dense.numRows == 1000)
+    val rows = dense.df.select("id", "key").collect().sortBy(_.getString(1))
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 1000L).toSeq)
+    dense.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // PPJoin prefix filtering (exactness vs the full inverted self-join)
+  // ------------------------------------------------------------------
+
+  test("prefix-filtered ngram Jaccard == naive full self-join output") {
+    val docs = Corpus.docs(spark, sf0001)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = collectPairs(Dedup.ngramJaccardNearDups(docs, 0.5))
+    // the r2 form: candidates = docs sharing ANY shingle (complete by
+    // jaccard > 0 ⟹ shared shingle)
+    val sh = Dedup.shingles(docs)
+    val cands = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val naive = collectPairs(Dedup.verifyJaccard(cands, sh, 0.5))
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // streaming: partial-append rollback
+  // ------------------------------------------------------------------
+
+  private def newBatch(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (s"repo-new", f"src/new/$i%03d.scala", f"c$i%012d", "scala",
+        s"object New$i { val fresh = $i; def batch = ${i * 7} }"))
+      .toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  test("replay after crash-before-applied-record rolls back, then reapplies") {
+    val dir = Files.createTempDirectory("graft-r3-stream").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    val m0 = ManifestIO.read(s"$dir/manifest.json")
+    val maxSeg0 = (m0.segments.map(_.segment_id) :+ 0).max
+    val batch = newBatch(5)
+
+    // simulate the crash window [ADVICE r2]: append fully applied, but
+    // the applied record was never written — only the intent remains
+    Maintenance.append(spark, dir, batch)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "stream_intent.json"),
+      s"""{"batchId":0,"numDocsBefore":${m0.num_docs},"maxSegBefore":$maxSeg0}"""
+        .getBytes)
+    assert(StreamingAppend.lastAppliedBatch(dir) == -1L)
+    assert(StreamingAppend.pendingIntent(dir).nonEmpty)
+
+    // replay: must roll the partial batch back, then apply ONCE
+    assert(StreamingAppend.applyBatch(dir, batch, 0L))
+    val m1 = ManifestIO.read(s"$dir/manifest.json")
+    assert(m1.num_docs == m0.num_docs + 5)
+    val store = spark.read.parquet(s"$dir/docstore")
+    assert(store.count() == m0.num_docs + 5) // no duplicated rows
+    assert(store.select("doc_id").distinct().count() == m0.num_docs + 5)
+    assert(StreamingAppend.lastAppliedBatch(dir) == 0L)
+    assert(StreamingAppend.pendingIntent(dir).isEmpty)
+    // a further replay of the same batch is skipped outright
+    assert(!StreamingAppend.applyBatch(dir, batch, 0L))
+    assert(spark.read.parquet(s"$dir/docstore").count() == m0.num_docs + 5)
+  }
+
+  // ------------------------------------------------------------------
+  // Dr quantization distance + :opq rotation (reference index.jl:109-110)
+  // ------------------------------------------------------------------
+
+  /** Sequential reference-formula scorer (index.jl:240-246) driven by
+    * the model's own codebooks — so Dr and the rotation thread through
+    * exactly once, identically for both engines.
+    */
+  private def referenceTopK(
+      model: IvfAdc.Model,
+      all: Array[(Long, Array[Float])],
+      q: Array[Float],
+      k: Int,
+      w: Int): Seq[(Long, Double)] = {
+    val byCell = all.map { case (id, v) =>
+      (IvfAdc.coarseAssign(v, model.centroids), id, v)
+    }.groupBy(_._1)
+    val coarse = model.centroids.zipWithIndex
+      .map { case (c, i) => (Pq.sqDistFull(q, c), i) }
+      .sortBy { case (d, i) => (d, i) }
+      .take(w)
+    val hits = coarse.flatMap { case (dc, cell) =>
+      val qr = Array.tabulate(q.length)(i =>
+        (q(i) - model.centroids(cell)(i)).toFloat)
+      val luts = model.codebooks.luts(qr)
+      byCell.getOrElse(cell, Array.empty).map { case (_, id, v) =>
+        val rv = Array.tabulate(v.length)(i =>
+          (v(i) - model.centroids(cell)(i)).toFloat)
+        val codes = model.codebooks.encode(rv)
+        var d = dc
+        var s = 0
+        while (s < luts.length) { d += luts(s)(codes(s) & 0xff); s += 1 }
+        (id, d)
+      }
+    }
+    hits.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+  }
+
+  private def parityGrid(model: IvfAdc.Model,
+      encoded: org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val queries = (0 until 6).map(qi => (qi, all(qi * 5)._2))
+    for (k <- Seq(1, 5); w <- Seq(1, 2)) {
+      val got = IvfAdc.search(spark, model, encoded, queries, k, w)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+      val exp = queries.flatMap { case (qi, qv) =>
+        referenceTopK(model, all, qv, k, w).map { case (id, d) =>
+          (qi, id, d)
+        }
+      }
+      assert(got.toSeq == exp.toSeq, s"mismatch at k=$k w=$w")
+    }
+  }
+
+  test("Dr = cosine: rank-identical to the reference formula end-to-end") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (model, encoded) = IvfAdc.build(spark, emb, kc = 4, m = 4, k = 8,
+      quantDist = Distance.Cosine)
+    assert(model.codebooks.dist eq Distance.Cosine)
+    assert(model.codebooks.rotation.isEmpty)
+    parityGrid(model, encoded)
+  }
+
+  test("OPQ: non-identity rotation, persisted roundtrip, rank parity") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (model, encoded) = IvfAdc.build(spark, emb, kc = 4, m = 4, k = 8,
+      method = "opq")
+    val rot = model.codebooks.rotation.getOrElse(fail("no rotation"))
+    // orthogonal permutation, and NOT the identity (real variance
+    // spread exists in the test embeddings)
+    rot.foreach(row => assert(row.count(_ != 0.0) == 1))
+    assert(rot.indices.exists(i => rot(i)(i) != 1.0))
+
+    // roundtrip: the persisted model reproduces codes bit-for-bit
+    // (the graft of /root/reference/test/persistency.jl + the rotation
+    // fields at src/persistency.jl:62-64)
+    val p = Files.createTempFile("graft-ivfadc-model", ".json").toString
+    IvfAdc.save(p, model)
+    val loaded = IvfAdc.load(p)
+    assert(loaded.kc == model.kc)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(loaded.codebooks.rotation.get.map(_.toSeq).toSeq ==
+      rot.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.dist eq Distance.SqEuclidean)
+    val probe = Array.tabulate(model.centroids(0).length)(i =>
+      (0.25f * i) - 1.0f)
+    assert(loaded.codebooks.encode(probe).toSeq ==
+      model.codebooks.encode(probe).toSeq)
+
+    parityGrid(model, encoded)
+  }
+
+  // ------------------------------------------------------------------
+  // bounded + fallback embedding-dedup sample [VERDICT r2 #2, ADVICE r2]
+  // ------------------------------------------------------------------
+
+  test("embedding near-dup survives sparse ids with no stride hits") {
+    import spark.implicits._
+    // > cap rows, ALL ids odd: stride = n/cap = 2 leaves the strided
+    // sample empty — the r2 code threw from fitLocalDouble here
+    val n = 2 * Dedup.EmbedSampleCap + 100
+    val emb = spark.range(0, n).toDF("i")
+      .select((col("i") * 2 + 1).as("vec_id"),
+        transform(sequence(lit(0), lit(3)),
+          j => (pmod(col("i") * (j + 1), lit(97)) - 48).cast("float"))
+          .as("embedding"))
+    val out = Dedup.embeddingNearDups(emb, 0.9999)
+    assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+    assert(out.count() >= 0) // completes without throwing
+  }
+
+  // ------------------------------------------------------------------
+  // resume hygiene: stale clusterstats wiped on fresh rebuild [ADVICE r2]
+  // ------------------------------------------------------------------
+
+  test("fresh rebuild into a dir built with other batching: no stat double-count") {
+    val dir = Files.createTempDirectory("graft-r3-wipe").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false, postingsBatches = 4))
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false, postingsBatches = 2))
+    val fresh = Files.createTempDirectory("graft-r3-fresh").toString
+    IndexBuilder.build(spark, sf0001, fresh,
+      IndexBuilder.BuildConfig(resume = false, postingsBatches = 2))
+    val a = ManifestIO.read(s"$dir/manifest.json")
+    val b = ManifestIO.read(s"$fresh/manifest.json")
+    assert(a.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings))
+      == b.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings)))
+  }
+
+  // ------------------------------------------------------------------
+  // merge preserves the granule window in the stats checkpoint [ADVICE r2]
+  // ------------------------------------------------------------------
+
+  test("mergeSegments keeps stats.granule_window == manifest.granule_window") {
+    val dir = Files.createTempDirectory("graft-r3-merge").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    Maintenance.append(spark, dir, newBatch(3))
+    Maintenance.mergeSegments(spark, dir)
+    val m = ManifestIO.read(s"$dir/manifest.json")
+    assert(m.granule_window > 0)
+    assert(IndexBuilder.loadStats(dir).granule_window == m.granule_window)
+  }
+}
