@@ -605,6 +605,9 @@ object IndexBuilder {
     val vocab = vocabOpt.getOrElse(
       spark.read.parquet(s"$indexDir/dictionary").count())
     val centroids = loadCentroids(indexDir)
+    // one graph build, both regimes (exact kNN edges below ExactKnnMax,
+    // layered incremental insert above — level 0 + upper layers)
+    val coarseGraph = graft.cluster.GraphCoarseSearch.buildGraph(centroids)
     val blockStats: Map[Int, ClusterStat] = clusterStatsOpt.getOrElse {
       spark.read.parquet(s"$indexDir/postings")
         .groupBy("cluster_id")
@@ -650,8 +653,8 @@ object IndexBuilder {
       distance = distanceName,
       granule_window = granuleWindow,
       centroids = centroids,
-      coarse_graph =
-        graft.cluster.GraphCoarseSearch.buildEdges(centroids),
+      coarse_graph = coarseGraph._1,
+      coarse_graph_upper = coarseGraph._2,
       lineage = InputLineage(lineageName, numDocs),
       partitions = parts,
       segments = loadSegments(indexDir))

@@ -69,6 +69,11 @@ case class IndexManifest(
     // reloaded at open instead of rebuilt (empty in pre-r2 manifests →
     // searchers rebuild deterministically)
     coarse_graph: Array[Array[Int]] = Array.empty,
+    // upper HNSW layers (index 0 = level 1) — nonempty only beyond
+    // GraphCoarseSearch.ExactKnnMax, where the layered incremental
+    // build replaces the exact kNN edges (r3; the reference's
+    // HierarchicalNSW layers, /root/reference/src/coarsequantizers.jl:58)
+    coarse_graph_upper: Array[Array[Array[Int]]] = Array.empty,
     lineage: InputLineage,
     partitions: Seq[PartitionMeta],
     segments: Seq[SegmentMeta])

@@ -79,6 +79,25 @@ object Dedup {
       .distinct()
   }
 
+  // one shingle cache PER DOCS FRAME, shared by the minhash and exact
+  // n-gram pipelines: each used to persist its own copy, and in a
+  // many-query session the duplicate 260k-row caches (plus their
+  // rederivation — tokenize + window + distinct — on any miss) dominated
+  // the wall clock [BENCH r3: q_dedup_ngram 2.6s standalone vs 11.8s
+  // mid-bench]. Keyed by frame identity: SparkEntry hands out one stable
+  // docs frame per sfDir.
+  private val shCache =
+    new java.util.IdentityHashMap[DataFrame, DataFrame]()
+
+  def shinglesCached(docs: DataFrame): DataFrame = shCache.synchronized {
+    Option(shCache.get(docs)).getOrElse {
+      val s = shingles(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shCache.put(docs, s)
+      s
+    }
+  }
+
   /** MinHash signatures: (doc_id, i, mh) for i in 0..H-1.
     *
     * ONE wide aggregation with H min-columns instead of a crossJoin
@@ -141,7 +160,7 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline over docs. */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = shinglesCached(docs)
     val cands = lshCandidates(minhash(spark, sh))
     verifyJaccard(cands, sh, threshold)
   }
@@ -161,7 +180,8 @@ object Dedup {
     * verify is unchanged.
     */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = shinglesCached(docs)
+    val t = threshold
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
@@ -169,12 +189,21 @@ object Dedup {
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("r", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(byDoc))
-      .filter(col("r") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .filter(col("r") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"), col("r"), col("sz"))
+    // candidate pruning inside the prefix join, all exact (classic
+    // PPJoin filters; o = |a∩b|, J >= t ⟺ o >= t(|a|+|b|)/(1+t)):
+    //  - length: J >= t needs min(|a|,|b|) >= t·max(|a|,|b|);
+    //  - positional: for the FIRST shared shingle (rarity order),
+    //    o <= min(|a|-ra, |b|-rb) + 1, so a qualifying pair passes the
+    //    test on at least that row — per-row filtering stays complete.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(t) * greatest(col("a.sz"), col("b.sz")) &&
+          (least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) + 1) >=
+            lit(t) / (1 + t) * (col("a.sz") + col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)

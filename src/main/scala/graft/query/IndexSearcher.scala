@@ -80,7 +80,8 @@ object IndexSearcher {
     // rebuild (pre-r2 manifests)
     lazy val graph =
       if (manifest.coarse_graph.nonEmpty)
-        new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph)
+        new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph,
+          manifest.coarse_graph_upper)
       else new graft.cluster.GraphCoarseSearch(centroids)
     // pre-r2 manifests have no granule window: single split
     val window = if (manifest.granule_window > 0) manifest.granule_window

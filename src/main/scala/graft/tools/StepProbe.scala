@@ -15,7 +15,9 @@ object StepProbe {
       val s = SparkSession.builder().master(s"local[$n]")
         .appName(s"probe-$n")
         .config("spark.io.compression.codec",
-          sys.env.getOrElse("GRAFT_PROBE_CODEC", "lz4"))
+          sys.env.getOrElse("GRAFT_PROBE_CODEC", "zstd"))
+        .config("spark.sql.parquet.compression.codec",
+          sys.env.getOrElse("GRAFT_PROBE_PARQUET", "snappy"))
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
