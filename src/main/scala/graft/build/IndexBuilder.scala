@@ -81,7 +81,12 @@ object IndexBuilder {
       // coarse-assignment metric — the reference's Dc type parameter
       // (/root/reference/src/index.jl:40); affects only how docs group
       // into cells, never BM25 scores
-      distance: graft.cluster.Distance = graft.cluster.Distance.SqEuclidean)
+      distance: graft.cluster.Distance = graft.cluster.Distance.SqEuclidean,
+      // opt back into the r2 granule-slot exchange ahead of the posting
+      // encode (the r3 default reads the granule-aligned docstore files
+      // with no exchange at all — same query results either way)
+      postingsExchange: Boolean =
+        sys.env.getOrElse("GRAFT_POSTINGS_SHUFFLE", "0") == "1")
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
@@ -330,9 +335,9 @@ object IndexBuilder {
       // rows — which is exactly the stage class that refuses to scale
       // with threads (BASELINE.md calibration). Read-partition sizing
       // replaces the exchange's balancing role: target ≈ bytes/parts.
-      // GRAFT_POSTINGS_SHUFFLE=1 opts back into the r2 exchange path.
-      val postingsExchange =
-        sys.env.getOrElse("GRAFT_POSTINGS_SHUFFLE", "0") == "1"
+      // GRAFT_POSTINGS_SHUFFLE=1 (or cfg.postingsExchange) opts back
+      // into the r2 exchange path.
+      val postingsExchange = cfg.postingsExchange
       val mpbKey = "spark.sql.files.maxPartitionBytes"
       val mpbPrev = spark.conf.get(mpbKey)
       if (!postingsExchange) {

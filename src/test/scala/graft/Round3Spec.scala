@@ -243,6 +243,32 @@ class Round3Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // zero-shuffle postings == exchange-path postings (query-visible)
+  // ------------------------------------------------------------------
+
+  test("postings built with and without the exchange answer identically") {
+    import graft.query.{IndexSearcher, QuerySet}
+    def buildAnd(q: Boolean): (String, graft.build.IndexManifest) = {
+      val dir = Files.createTempDirectory(s"graft-r3-px-$q").toString
+      IndexBuilder.build(spark, sf0001, dir,
+        IndexBuilder.BuildConfig(resume = false, postingsExchange = q))
+      (dir, ManifestIO.read(s"$dir/manifest.json"))
+    }
+    val (dirA, mA) = buildAnd(false) // r3 default: no exchange
+    val (dirB, mB) = buildAnd(true) // r2 path: granule-slot exchange
+    // same totals per cluster (blocks/segments may differ in shape)
+    assert(mA.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings))
+      == mB.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings)))
+    // rank-identical WAND answers
+    def ans(dir: String) = IndexSearcher
+      .topK(spark, dir, QuerySet.queries.take(8), 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(ans(dirA) == ans(dirB))
+  }
+
+  // ------------------------------------------------------------------
   // layered HNSW beyond the exact-kNN regime [VERDICT r2 #9 stretch]
   // ------------------------------------------------------------------
 
