@@ -202,7 +202,6 @@ object IndexBuilder {
     // needs no sampling at all.
     step("docstore") {
       val dense = Corpus.docsFromCounted(source, idOrder)
-      val docs = CoarseClusterer.withFeatures(dense.df)
       val n = dense.numRows
       require(n > 0, "empty source")
       val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
@@ -210,9 +209,11 @@ object IndexBuilder {
       // sample (at real scale you never run Lloyd's over the full
       // corpus); assignment below still covers every doc. The sample is
       // capped at 10k: the fit is a SERIAL driver cost, and a
-      // partitioning signal does not improve past that.
+      // partitioning signal does not improve past that. Only this
+      // bounded sample ever materializes a `feat` column — the full
+      // corpus is assigned by the fused zero-allocation expression below.
       val fitStep = math.max(1L, n / 10000)
-      val sample = docs
+      val sample = CoarseClusterer.withFeatures(dense.df)
         .filter(col("doc_id") % fitStep === 0)
         .select("doc_id", "feat")
         .collect()
@@ -240,8 +241,12 @@ object IndexBuilder {
         count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
           (0 until kc).map(c =>
             sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
-      val clustered = CoarseClusterer
-        .withClusterId(docs, centroids, cfg.distance)
+      // fused content→features→argmin assignment, one codegen call per
+      // row with a reused feature buffer — no feat array column, no udf
+      // Seq boxing on the build's biggest stage (r3; ClusterAssignExpr)
+      val clustered = dense.df
+        .withColumn("cluster_id", graft.functions.ClusterAssignExpr
+          .clusterId(col("content"), centroids, cfg.distance))
         .observe(obs, metrics.head, metrics.tail: _*)
       // granule-slot exchange ahead of the write: each task holds a few
       // CONTIGUOUS (cluster, doc range) slices → ~2 files per cluster

@@ -243,6 +243,33 @@ class Round3Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // fused assignment expression == feat-column + udf path
+  // ------------------------------------------------------------------
+
+  test("property: ClusterAssignExpr.assignInto == assign(featuresOf) on arbitrary text") {
+    import graft.cluster.CoarseClusterer
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // fixed deterministic centroids, both metrics
+    val cs = Array.tabulate(7)(c =>
+      Array.tabulate(CoarseClusterer.Dim)(j => ((c * 31 + j * 7) % 13).toDouble))
+    val texts = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', '_', '(', ')', '\n')),
+      (1, Gen.oneOf('é', 'λ', '中')))).map(_.mkString)
+    Seq(Distance.SqEuclidean, Distance.Cosine).foreach { d =>
+      val buf = new Array[Long](CoarseClusterer.Dim)
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(300),
+        Prop.forAll(texts) { t =>
+          graft.functions.ClusterAssignExpr
+            .assignInto(UTF8String.fromString(t), buf, cs, d) ==
+            CoarseClusterer.assign(CoarseClusterer.featuresOf(t), cs, d)
+        })
+      assert(res.passed, res.status.toString)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // zero-shuffle postings == exchange-path postings (query-visible)
   // ------------------------------------------------------------------
 
