@@ -100,15 +100,14 @@ object SparkEntry {
       val n = graft.build.ManifestIO.read(s"$idx/manifest.json").num_docs
       val work = java.nio.file.Files
         .createTempDirectory("graft-qdc").toString
-      // clone the index dir's tombstone state by building survivors view
-      // directly: delete head/middle/tail ranges
+      // delete head/middle/tail ranges, then compact. The explicit dead
+      // set keeps the shared cached index read-only (the r2 harness
+      // copied the WHOLE index dir per run, inflating the measured wall
+      // well above the operator's cost [VERDICT r2]); the tombstones.json
+      // file flow is covered by MaintenanceSpec.
       val dead = (0L until 10L) ++ (100L until 120L) ++ ((n - 5) until n)
-      val tmpIdx = java.nio.file.Files
-        .createTempDirectory("graft-qdc-idx").toString
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(idx), new java.io.File(tmpIdx))
-      graft.maintain.Maintenance.delete(tmpIdx, dead)
-      graft.maintain.Maintenance.compact(s, tmpIdx, work)
+      graft.maintain.Maintenance.compact(s, idx, work,
+        deadOverride = Some(dead.toSet))
       s.read.parquet(s"$work/docstore")
         .select("doc_id", "content_sha")
         .orderBy("doc_id")

@@ -348,8 +348,14 @@ object IndexBuilder {
       if (!postingsExchange) {
         val totalBytes = org.apache.commons.io.FileUtils
           .sizeOfDirectory(new java.io.File(s"$indexDir/docstore"))
+        // read-granularity factor: >1 packs finer partitions (more
+        // waves, smoother straggler tail), at the cost of more/smaller
+        // posting files
+        val factor = sys.env.getOrElse("GRAFT_POSTINGS_READ_FACTOR", "1")
+          .toInt
         spark.conf.set(mpbKey,
-          math.max(4L << 20, totalBytes / math.max(1, parts)).toString)
+          math.max(4L << 20,
+            totalBytes / math.max(1, parts * factor)).toString)
       }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration

@@ -227,10 +227,15 @@ object Maintenance {
   }
 
   /** M5/M8 compaction: survivors re-ranked dense in OLD-id order into a
-    * fresh snapshot directory (avgdl/idf refreshed there).
+    * fresh snapshot directory (avgdl/idf refreshed there). The
+    * tombstone set defaults to the index's tombstones.json; passing
+    * `deadOverride` compacts against an explicit set WITHOUT mutating
+    * the source index (read-only source — e.g. benchmark harnesses that
+    * must not leave tombstones behind for later queries).
     */
-  def compact(spark: SparkSession, indexDir: String, outDir: String): IndexBuilder.BuildResult = {
-    val dead = loadTombstones(indexDir)
+  def compact(spark: SparkSession, indexDir: String, outDir: String,
+      deadOverride: Option[Set[Long]] = None): IndexBuilder.BuildResult = {
+    val dead = deadOverride.getOrElse(loadTombstones(indexDir))
     import spark.implicits._
     // broadcast left-anti join: the idiomatic tombstone filter (scales
     // to large tombstone sets where an isin literal would not)

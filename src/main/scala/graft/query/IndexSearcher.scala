@@ -65,7 +65,10 @@ object IndexSearcher {
       k: Int,
       w: Int = Int.MaxValue,
       splitsPerCluster: Int = SplitsPerCluster,
-      graphProbe: Option[Boolean] = None): DataFrame = {
+      graphProbe: Option[Boolean] = None,
+      // graph-probe recall knob (the HNSW ef parameter); 0 = auto
+      // (max(16, 2w) — small kc degenerates to exact)
+      ef: Int = 0): DataFrame = {
     import spark.implicits._
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
@@ -102,7 +105,8 @@ object IndexSearcher {
             // Q3 coarse search: greedy graph probe over the persisted
             // kNN adjacency; ef defaults high enough that small kc
             // degenerates to exact (GraphCoarseSearchSpec property)
-            graph.probe(feat, w, ef = math.max(16, 2 * w)).toSet
+            graph.probe(feat, w,
+              ef = if (ef > 0) ef else math.max(16, 2 * w)).toSet
           else
             // Q2 coarse search: distance of the query's term-vector to
             // each centroid, take top-w (ties toward lower cluster id —
