@@ -243,6 +243,41 @@ class Round3Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // executed-plan guards for the r3 shuffle claims
+  // ------------------------------------------------------------------
+
+  test("plans: postings encode has NO exchange; dense-id path has exactly ONE") {
+    val dir = Files.createTempDirectory("graft-r3-plan").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false))
+    // the zero-shuffle postings pipeline: parquet scan → tokenize →
+    // local sort → encode, no Exchange anywhere in the plan
+    val docstore = spark.read.parquet(s"$dir/docstore")
+    val (blocks, _, _) = IndexBuilder.encodeBlocks(
+      spark, docstore, avgdl = 10.0, segmentOffset = 0, window = 8192,
+      exchange = false)
+    val postingsPlan = blocks.queryExecution.executedPlan.toString
+    assert(!postingsPlan.contains("Exchange"), postingsPlan)
+
+    // dense ids: the id projection sits DIRECTLY on the cached range
+    // exchange — no second exchange above the cache boundary (the r2
+    // form hash-exchanged all content rows again for the row_number
+    // window). NB: InMemoryRelation's toString prints its cached plan
+    // twice, so count only the section above it.
+    val src = Corpus.sourceTable(spark, sf0001)
+    val dense = Corpus.withDenseIdCounted(src, Seq("repo", "path", "commit"),
+      "doc_id")
+    val densePlan = dense.df.queryExecution.executedPlan.toString
+    val cacheBoundary = densePlan.indexOf("InMemoryRelation")
+    assert(cacheBoundary > 0, densePlan)
+    val aboveCache = densePlan.substring(0, cacheBoundary)
+    assert(!aboveCache.contains("Exchange"),
+      s"unexpected exchange above the cache:\n$densePlan")
+    assert(densePlan.contains("partitionoffsetrowindex"), densePlan)
+    dense.unpersist()
+  }
+
+  // ------------------------------------------------------------------
   // fused assignment expression == feat-column + udf path
   // ------------------------------------------------------------------
 
