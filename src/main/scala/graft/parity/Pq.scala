@@ -17,10 +17,11 @@ import graft.cluster.Distance
   *  - `quantization_method = :pq | :opq` (/root/reference/src/index.jl:
   *    110): `:opq` trains an orthogonal rotation applied to residuals
   *    before sub-quantization (persisted like the reference's rotation
-  *    matrix, src/persistency.jl:62-64). The rotation here is
-  *    variance-balancing eigenvalue-allocation-style: a permutation
-  *    matrix distributing high-variance dims across subspaces
-  *    (deterministic; the OPQ paper's parametric baseline).
+  *    matrix, src/persistency.jl:62-64). The rotation is learned by the
+  *    PARAMETRIC OPQ alternation (Ge et al. CVPR'13): init = a
+  *    variance-balancing permutation (eigenvalue-allocation-style),
+  *    then alternate codebook training with orthogonal-Procrustes
+  *    rotation solves (deterministic fixed-order Jacobi SVD).
   */
 object Pq {
 
@@ -205,20 +206,210 @@ object Pq {
     val dim = residuals(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
-    val rotation =
-      if (method == "opq") Some(varianceBalancedRotation(residuals, m))
-      else None
-    val pre = Codebooks(m, k, subLen, Array.empty, dist, rotation)
-    val rotated = rotation match {
-      case None => residuals
-      case Some(_) => residuals.map(pre.rotate)
+
+    def fitBooks(rotated: Array[Array[Float]]): Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        val off = s * subLen
+        val sub = rotated.map(r =>
+          Array.tabulate(subLen)(i => r(off + i).toDouble))
+        kmeans(sub, k, maxIter, dist)
+      }
+
+    if (method == "pq")
+      Codebooks(m, k, subLen, fitBooks(residuals), dist, None)
+    else {
+      // PARAMETRIC OPQ alternation (Ge/He/Ke/Sun, CVPR'13 — public
+      // algorithm): init R by variance-balancing eigenvalue allocation,
+      // then alternate [train codebooks under R] ↔ [R ← Procrustes
+      // solve of Σ ŷ xᵀ]. Every step is deterministic (sequential
+      // arithmetic, fixed-order Jacobi SVD) — the reference's
+      // `quantization_method=:opq` (/root/reference/src/index.jl:110).
+      var rot = varianceBalancedRotation(residuals, m)
+      var books: Array[Array[Array[Double]]] = null
+      var iter = 0
+      while (iter < OpqIters) {
+        val rotated = residuals.map(matVec(rot, _))
+        books = fitBooks(rotated)
+        if (iter < OpqIters - 1) {
+          // reconstruction ŷ per point (rotated space), M = Σ ŷ xᵀ,
+          // R ← argmax_{RᵀR=I} tr(Rᵀ M) = U Vᵀ
+          val enc = Codebooks(m, k, subLen, books, dist, None)
+          val mm = Array.fill(dim)(new Array[Double](dim))
+          var n = 0
+          while (n < residuals.length) {
+            val x = residuals(n)
+            val rv = rotated(n)
+            val codes = enc.encode(rv)
+            var s = 0
+            while (s < m) {
+              val book = books(s)(codes(s) & 0xff)
+              var i = 0
+              while (i < subLen) {
+                val yi = book(i)
+                val row = mm(s * subLen + i)
+                var jj = 0
+                while (jj < dim) { row(jj) += yi * x(jj); jj += 1 }
+                i += 1
+              }
+              s += 1
+            }
+            n += 1
+          }
+          rot = procrustes(mm)
+        }
+        iter += 1
+      }
+      Codebooks(m, k, subLen, books, dist, Some(rot))
     }
-    val books = Array.tabulate(m) { s =>
-      val off = s * subLen
-      val sub = rotated.map(r =>
-        Array.tabulate(subLen)(i => r(off + i).toDouble))
-      kmeans(sub, k, maxIter, dist)
+  }
+
+  /** OPQ alternation count (see [[train]]). */
+  val OpqIters = 3
+
+  private def matVec(r: Array[Array[Double]], v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](r.length)
+    var i = 0
+    while (i < r.length) {
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += r(i)(j) * v(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
     }
-    Codebooks(m, k, subLen, books, dist, rotation)
+    out
+  }
+
+  /** One-sided Jacobi SVD of a square matrix A = U Σ Vᵀ, deterministic
+    * (fixed sweep order). Returns (U, V); zero-σ columns of U are
+    * completed by Gram-Schmidt against canonical basis vectors so U
+    * stays orthogonal even on rank-deficient input.
+    */
+  def jacobiSvd(a: Array[Array[Double]], sweeps: Int = 30,
+      eps: Double = 1e-12): (Array[Array[Double]], Array[Array[Double]]) = {
+    val n = a.length
+    val g = a.map(_.clone()) // rotated in place, column-wise
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var rotated = true
+    while (sweep < sweeps && rotated) {
+      rotated = false
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < n) {
+            val gp = g(i)(p); val gq = g(i)(q)
+            app += gp * gp; aqq += gq * gq; apq += gp * gq
+            i += 1
+          }
+          if (math.abs(apq) > eps * math.sqrt(app * aqq)) {
+            rotated = true
+            val tau = (aqq - app) / (2.0 * apq)
+            val t =
+              math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            i = 0
+            while (i < n) {
+              val gp = g(i)(p); val gq = g(i)(q)
+              g(i)(p) = c * gp - s * gq
+              g(i)(q) = s * gp + c * gq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = c * vp - s * vq
+              v(i)(q) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // U = normalized columns of g. A rank-deficient input (common here:
+    // M = Σ ŷ xᵀ has rank ≤ m·k) leaves zero-σ columns — complete them
+    // in a SECOND pass, Gram-Schmidt against EVERY already-filled column
+    // (nonzero ones included), so U stays orthogonal as a whole.
+    val u = Array.fill(n)(new Array[Double](n))
+    val filled = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val empty = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var j = 0
+    while (j < n) {
+      var norm = 0.0
+      var i = 0
+      while (i < n) { norm += g(i)(j) * g(i)(j); i += 1 }
+      norm = math.sqrt(norm)
+      if (norm > 1e-12) {
+        i = 0
+        while (i < n) { u(i)(j) = g(i)(j) / norm; i += 1 }
+        filled += j
+      } else empty += j
+      j += 1
+    }
+    empty.foreach { je =>
+      var e = 0
+      var done = false
+      while (e < n && !done) {
+        val w = new Array[Double](n)
+        w(e) = 1.0
+        filled.foreach { jj =>
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += u(i)(jj) * w(i); i += 1 }
+          i = 0
+          while (i < n) { w(i) -= dot * u(i)(jj); i += 1 }
+        }
+        val wn = math.sqrt(w.map(x => x * x).sum)
+        if (wn > 1e-6) {
+          var i = 0
+          while (i < n) { u(i)(je) = w(i) / wn; i += 1 }
+          filled += je
+          done = true
+        }
+        e += 1
+      }
+      require(done, "failed to complete orthogonal basis")
+    }
+    (u, v)
+  }
+
+  /** Orthogonal Procrustes: the R with RᵀR = I maximizing tr(Rᵀ M) is
+    * U Vᵀ for M = U Σ Vᵀ.
+    */
+  def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val (u, v) = jacobiSvd(m)
+    val n = m.length
+    Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var t = 0
+      while (t < n) { s += u(i)(t) * v(j)(t); t += 1 }
+      s
+    }
+  }
+
+  /** Mean squared quantization error under rotation + codebooks (the
+    * OPQ objective; diagnostic).
+    */
+  def quantizationError(cb: Codebooks, residuals: Array[Array[Float]]): Double = {
+    val unrotated = cb.copy(rotation = None)
+    var sum = 0.0
+    residuals.foreach { r =>
+      val rv = cb.rotate(r)
+      val codes = unrotated.encode(rv)
+      var s = 0
+      while (s < cb.m) {
+        val book = cb.books(s)(codes(s) & 0xff)
+        var i = 0
+        while (i < cb.subLen) {
+          val d = rv(s * cb.subLen + i) - book(i)
+          sum += d * d
+          i += 1
+        }
+        s += 1
+      }
+    }
+    sum / residuals.length
   }
 }

@@ -177,10 +177,14 @@ class Round3Spec extends SparkSpec {
     val (model, encoded) = IvfAdc.build(spark, emb, kc = 4, m = 4, k = 8,
       method = "opq")
     val rot = model.codebooks.rotation.getOrElse(fail("no rotation"))
-    // orthogonal permutation, and NOT the identity (real variance
-    // spread exists in the test embeddings)
-    rot.foreach(row => assert(row.count(_ != 0.0) == 1))
-    assert(rot.indices.exists(i => rot(i)(i) != 1.0))
+    // learned rotation is orthogonal (RᵀR = I) and NOT the identity
+    val dim = rot.length
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => rot(t)(i) * rot(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RtR[$i][$j] = $dot")
+    }
+    assert(rot.indices.exists(i => math.abs(rot(i)(i) - 1.0) > 1e-6))
 
     // roundtrip: the persisted model reproduces codes bit-for-bit
     // (the graft of /root/reference/test/persistency.jl + the rotation
@@ -202,6 +206,31 @@ class Round3Spec extends SparkSpec {
       model.codebooks.encode(probe).toSeq)
 
     parityGrid(model, encoded)
+  }
+
+  test("parametric OPQ lowers quantization error vs plain PQ on correlated dims") {
+    import scala.util.hashing.MurmurHash3
+    // dims 2i and 2i+1 carry the SAME latent signal, but the identity
+    // subspace split (m=2, subLen=2 over dim=4) straddles the
+    // correlation — a rotation that regroups correlated dims quantizes
+    // strictly better, which is the OPQ objective
+    def h(i: Int, j: Int): Double =
+      math.floorMod(MurmurHash3.productHash((i, j)), 1000) / 1000.0 - 0.5
+    val residuals = Array.tabulate(2000) { i =>
+      val a = h(i, 0)
+      val b = h(i, 1)
+      Array(a, b, a + 0.01 * h(i, 2), b + 0.01 * h(i, 3)).map(_.toFloat)
+    }
+    val pq = Pq.train(residuals, m = 2, k = 8, maxIter = 10)
+    val opq = Pq.train(residuals, m = 2, k = 8, maxIter = 10, method = "opq")
+    val ePq = Pq.quantizationError(pq, residuals)
+    val eOpq = Pq.quantizationError(opq, residuals)
+    assert(eOpq < ePq, s"opq=$eOpq should beat pq=$ePq here")
+    // and the learned rotation roundtrips exactly through persistence
+    val p = Files.createTempFile("graft-opq", ".json").toString
+    IvfAdc.save(p, IvfAdc.Model(1, Array(Array.fill(4)(0.0)), opq))
+    assert(IvfAdc.load(p).codebooks.rotation.get.map(_.toSeq).toSeq ==
+      opq.rotation.get.map(_.toSeq).toSeq)
   }
 
   // ------------------------------------------------------------------
