@@ -201,7 +201,16 @@ object IndexBuilder {
     // write's range-partitioner sampling; the granule-hash exchange
     // needs no sampling at all.
     step("docstore") {
-      val dense = Corpus.docsFromCounted(source, idOrder)
+      // the GRAFT_DOCSTORE_SHUFFLE=0 experiment writes straight from the
+      // dense-id partitioning, which is only granule-aligned under the
+      // exchange id strategy (the broadcast strategy leaves rows in
+      // source order — writing from it would break the disjoint-doc-
+      // range-per-file invariant the zero-shuffle postings step needs)
+      val dense = Corpus.docsFromCounted(source, idOrder,
+        idStrategy =
+          if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "0")
+            "exchange"
+          else sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"))
       val n = dense.numRows
       require(n > 0, "empty source")
       val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
@@ -239,6 +248,7 @@ object IndexBuilder {
       val obs = Observation()
       val metrics =
         count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
+          min(col("doc_id")).as("min_id") +:
           (0 until kc).map(c =>
             sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
       // fused content→features→argmin assignment, one codegen call per
@@ -274,6 +284,12 @@ object IndexBuilder {
         .parquet(s"$indexDir/docstore")
       dense.unpersist()
       val m = obs.get
+      // a negative id = the broadcast id lookup saw a key its keys-only
+      // pass did not (non-deterministic source) — fail the build, the
+      // docstore written above is not trustworthy
+      require(m("min_id").asInstanceOf[Long] >= 0,
+        s"dense-id lookup missed a key (min doc_id = ${m("min_id")}): " +
+          "the source is not deterministic across jobs")
       saveStats(indexDir,
         CorpusStats(n, m("sum_dl").asInstanceOf[Long], window))
       saveDocCounts(indexDir, (0 until kc)

@@ -61,13 +61,33 @@ object Corpus {
     * (/root/reference/src/index.jl:189, 0-based).
     *
     * Scalable form: a global `row_number() OVER (ORDER BY ...)` would
-    * funnel all rows through ONE partition. Instead:
-    * range-repartition on the sort key (global order across partitions),
-    * count rows per partition (one light job), then
-    * id = partition offset + partition-local row index, assigned by a
-    * stateful leaf expression (PartitionOffsetRowIndex) streaming the
-    * sorted partitions in place — no second exchange.
-    * Equivalent to the global row_number because the sort key is unique.
+    * funnel all rows through ONE partition. Two strategies, both exact,
+    * both producing the identical ids (= global rank of the unique key):
+    *
+    *  - "broadcast" (default up to [[IdBroadcastMaxDocs]] rows): ONE
+    *    keys-only job (range-repartition just the sort columns — tiny
+    *    bytes — sort, and collect each partition's xxhash64 sequence in
+    *    order) gives the driver the exact (key hash → rank) map, which
+    *    is broadcast and applied to the ORIGINAL frame by a codegen
+    *    lookup expression. The full content rows are never exchanged,
+    *    never cached: the dense-id step costs a keys exchange (~2% of
+    *    the content bytes) plus one hash probe per row. Any hash
+    *    collision (or duplicate key) is detected exactly on the driver
+    *    and falls back to the exchange strategy.
+    *  - "exchange" (any scale): range-repartition the full rows on the
+    *    sort key, count rows per partition (one light job over the
+    *    cached exchange), then id = partition offset + local row index
+    *    via a stateful leaf expression (PartitionOffsetRowIndex)
+    *    streaming the sorted partitions in place.
+    *
+    * The broadcast strategy exists because the exchange one moves every
+    * content byte through a shuffle ONLY to learn each row's rank — at
+    * ~32 B of driver/broadcast memory per row, corpora up to tens of
+    * millions of docs resolve ranks from a keys-only pass instead (the
+    * same size-based strategy pick as a broadcast join). Above the
+    * threshold the exchange path takes over; per-partition key counts
+    * are capped so an over-threshold corpus never materializes the
+    * hashes (one wasted keys pass, then fallback).
     */
   def withDenseId(
       df: DataFrame,
@@ -76,15 +96,102 @@ object Corpus {
       numPartitions: Int = 0): DataFrame =
     withDenseIdCounted(df, sortCols, idCol, numPartitions).df
 
-  /** Dense-id result: the id'd frame, the TOTAL row count (free — it is
-    * the sum of the per-partition counts the offset pass already
-    * collects, so callers never need a separate count job), and an
-    * unpersist handle for the internal post-shuffle cache (two downstream
-    * jobs read it; release it when the last one is done).
+  /** Dense-id result: the id'd frame, the TOTAL row count (free — both
+    * strategies learn it from their per-partition counts, so callers
+    * never need a separate count job), and an unpersist handle for the
+    * exchange strategy's internal post-shuffle cache (no-op under the
+    * broadcast strategy, which caches nothing).
     */
   final case class DenseId(df: DataFrame, numRows: Long, unpersist: () => Unit)
 
+  /** Broadcast-strategy cutover: above this many rows the (hash → id)
+    * map (~32 B/row) is no longer worth collecting/broadcasting and the
+    * exchange strategy takes over. Env-overridable for experiments.
+    */
+  val IdBroadcastMaxDocs: Long =
+    sys.env.getOrElse("GRAFT_ID_BROADCAST_MAX", "4194304").toLong
+
   def withDenseIdCounted(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      numPartitions: Int = 0,
+      strategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto")): DenseId = {
+    require(Set("auto", "broadcast", "exchange")(strategy),
+      s"unknown id strategy: $strategy")
+    if (strategy == "exchange") withDenseIdExchange(df, sortCols, idCol, numPartitions)
+    else withDenseIdBroadcast(df, sortCols, idCol, numPartitions,
+      forced = strategy == "broadcast")
+      .getOrElse(withDenseIdExchange(df, sortCols, idCol, numPartitions))
+
+  }
+
+  /** Broadcast strategy; None = over threshold / hash collision /
+    * duplicate key — the caller falls back to the exchange strategy.
+    */
+  private def withDenseIdBroadcast(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      numPartitions: Int,
+      forced: Boolean): Option[DenseId] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = sortCols.map(col)
+    // per-partition cap: range partitions are balanced, so 4× the even
+    // share of the threshold is generous; a partition over the cap stops
+    // buffering hashes (count continues) and the driver falls back
+    val cap =
+      if (forced) Long.MaxValue
+      else math.max(65536L, 4L * IdBroadcastMaxDocs / parts)
+    val perPart = df
+      .select(cols: _*)
+      .repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .select(xxhash64(cols: _*).as("h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        var n = 0L
+        it.foreach { h =>
+          if (n < cap) buf += h
+          n += 1
+        }
+        Iterator.single((pid, n, if (n <= cap) buf.result() else Array.emptyLongArray))
+      }
+      .collect()
+      .sortBy(_._1)
+    val total = perPart.map(_._2).sum
+    if (total == 0) return Some(DenseId(
+      df.withColumn(idCol, lit(0L)).filter(lit(false)), 0L, () => ()))
+    if (!forced &&
+        (total > IdBroadcastMaxDocs || perPart.exists(p => p._2 > p._3.length)))
+      return None
+    val map = new graft.functions.LongLongMap(total)
+    var id = 0L
+    var collision = false
+    perPart.foreach(_._3.foreach { h =>
+      if (!map.put(h, id)) collision = true
+      id += 1
+    })
+    // a collision (two keys with equal xxhash64, or a duplicate key)
+    // would silently mis-assign ids — exactness wins, use the exchange
+    if (collision) {
+      require(!forced, "duplicate key or hash collision under forced " +
+        "broadcast id strategy")
+      return None
+    }
+    val bc = spark.sparkContext.broadcast(map)
+    val out = df.withColumn(idCol,
+      graft.functions.IdLookupExpr.col(xxhash64(cols: _*), bc))
+    Some(DenseId(out, total, () => ()))
+  }
+
+  private def withDenseIdExchange(
       df: DataFrame,
       sortCols: Seq[String],
       idCol: String,
@@ -146,8 +253,10 @@ object Corpus {
   def docsFromCounted(
       src: DataFrame,
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
-      idOffset: Long = 0L): DenseId = {
-    val dense = withDenseIdCounted(src, idOrder, "doc_id")
+      idOffset: Long = 0L,
+      idStrategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto")): DenseId = {
+    val dense = withDenseIdCounted(src, idOrder, "doc_id",
+      strategy = idStrategy)
     val out = dense.df
       .withColumn("doc_id", col("doc_id") + idOffset)
       .withColumn("content_sha", sha2(col("content"), 256))

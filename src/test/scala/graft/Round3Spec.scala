@@ -288,22 +288,54 @@ class Round3Spec extends SparkSpec {
     val postingsPlan = blocks.queryExecution.executedPlan.toString
     assert(!postingsPlan.contains("Exchange"), postingsPlan)
 
-    // dense ids: the id projection sits DIRECTLY on the cached range
-    // exchange — no second exchange above the cache boundary (the r2
-    // form hash-exchanged all content rows again for the row_number
-    // window). NB: InMemoryRelation's toString prints its cached plan
-    // twice, so count only the section above it.
+    // dense ids, broadcast strategy (the default under the threshold):
+    // the id'd frame is the source plus a broadcast hash lookup — NO
+    // exchange of content rows anywhere in its plan (the keys-only pass
+    // ran as its own tiny job at construction time)
     val src = Corpus.sourceTable(spark, sf0001)
     val dense = Corpus.withDenseIdCounted(src, Seq("repo", "path", "commit"),
       "doc_id")
     val densePlan = dense.df.queryExecution.executedPlan.toString
-    val cacheBoundary = densePlan.indexOf("InMemoryRelation")
-    assert(cacheBoundary > 0, densePlan)
-    val aboveCache = densePlan.substring(0, cacheBoundary)
-    assert(!aboveCache.contains("Exchange"),
-      s"unexpected exchange above the cache:\n$densePlan")
-    assert(densePlan.contains("partitionoffsetrowindex"), densePlan)
+    assert(!densePlan.contains("Exchange"),
+      s"unexpected exchange in the broadcast dense-id plan:\n$densePlan")
+    assert(densePlan.toLowerCase.contains("idlookup"), densePlan)
     dense.unpersist()
+
+    // dense ids, exchange strategy (the over-threshold path): the id
+    // projection sits DIRECTLY on the cached range exchange — no second
+    // exchange above the cache boundary (the r2 form hash-exchanged all
+    // content rows again for the row_number window). NB:
+    // InMemoryRelation's toString prints its cached plan twice, so count
+    // only the section above it.
+    val denseEx = Corpus.withDenseIdCounted(src, Seq("repo", "path", "commit"),
+      "doc_id", strategy = "exchange")
+    val exPlan = denseEx.df.queryExecution.executedPlan.toString
+    val cacheBoundary = exPlan.indexOf("InMemoryRelation")
+    assert(cacheBoundary > 0, exPlan)
+    val aboveCache = exPlan.substring(0, cacheBoundary)
+    assert(!aboveCache.contains("Exchange"),
+      s"unexpected exchange above the cache:\n$exPlan")
+    assert(exPlan.contains("partitionoffsetrowindex"), exPlan)
+    denseEx.unpersist()
+  }
+
+  test("broadcast and exchange id strategies assign identical ids") {
+    val src = Corpus.sourceTable(spark, sf0001)
+    def ids(strategy: String): (Long, Seq[(String, String, String, Long)]) = {
+      val d = Corpus.withDenseIdCounted(src, Seq("repo", "path", "commit"),
+        "doc_id", strategy = strategy)
+      val rows = d.df.select("repo", "path", "commit", "doc_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      d.unpersist()
+      (d.numRows, rows)
+    }
+    val (nB, idsB) = ids("broadcast")
+    val (nE, idsE) = ids("exchange")
+    assert(nB == nE && nB > 0)
+    assert(idsB == idsE)
+    // and they are exactly the dense 0-based ranks in key order
+    assert(idsB.map(_._4) == idsB.indices.map(_.toLong))
   }
 
   // ------------------------------------------------------------------
