@@ -14,9 +14,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Corpus {
 
-  /** Raw driver table. */
-  def documents(spark: SparkSession, sfDir: String): DataFrame =
+  /** Raw driver table, widened to full task width. The fixture parquet
+    * holds a single row group per file, so the scan yields only 3-4
+    * splits — too narrow for the per-row compute (tokenize, sha,
+    * cluster assignment) that the broadcast dense-id strategy runs
+    * directly on the source side (no exchange re-spreads it anymore).
+    * The repartition moves only the SMALL base rows (pre-amplification)
+    * and is hash-keyed on doc_id: deterministic placement, even spread,
+    * and a FIXED width (numShufflePartitions, not defaultParallelism)
+    * so the scaling bench executes the identical plan at every thread
+    * count. A production source arrives with thousands of real splits
+    * and would skip this.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(parts, col("doc_id"))
+  }
 
   /** Deterministic corpus amplification for throughput benchmarking:
     * replicates each document `factor` times with distinct doc_ids
@@ -147,24 +161,30 @@ object Corpus {
     val cap =
       if (forced) Long.MaxValue
       else math.max(65536L, 4L * IdBroadcastMaxDocs / parts)
-    val perPart = df
-      .select(cols: _*)
-      .repartitionByRange(parts, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .select(xxhash64(cols: _*).as("h"))
-      .as[Long]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-        var n = 0L
-        it.foreach { h =>
-          if (n < cap) buf += h
-          n += 1
+    // cached: the range partitioner's boundary-sampling job and the
+    // collect job below both read the keys — without the cache each
+    // would re-derive them from the source (for generated/projected
+    // sources that is a second full pass over content-derived columns)
+    val keyRows = df.select(cols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val perPart =
+      try keyRows
+        .repartitionByRange(parts, cols: _*)
+        .sortWithinPartitions(cols: _*)
+        .select(xxhash64(cols: _*).as("h"))
+        .as[Long]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          var n = 0L
+          it.foreach { h =>
+            if (n < cap) buf += h
+            n += 1
+          }
+          Iterator.single((pid, n, if (n <= cap) buf.result() else Array.emptyLongArray))
         }
-        Iterator.single((pid, n, if (n <= cap) buf.result() else Array.emptyLongArray))
-      }
-      .collect()
-      .sortBy(_._1)
+        .collect()
+        .sortBy(_._1)
+      finally keyRows.unpersist()
     val total = perPart.map(_._2).sum
     if (total == 0) return Some(DenseId(
       df.withColumn(idCol, lit(0L)).filter(lit(false)), 0L, () => ()))

@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 import java.util.concurrent.ConcurrentHashMap
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    Seq(4, 1).foreach { n =>
+    sys.env.getOrElse("GRAFT_JP_LEVELS", "4,1").split(",").map(_.trim.toInt)
+      .toSeq.foreach { n =>
       val s = SparkSession.builder().master(s"local[$n]").appName(s"jp-$n")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")

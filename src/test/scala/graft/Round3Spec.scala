@@ -295,9 +295,13 @@ class Round3Spec extends SparkSpec {
     val src = Corpus.sourceTable(spark, sf0001)
     val dense = Corpus.withDenseIdCounted(src, Seq("repo", "path", "commit"),
       "doc_id")
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+    val srcPlan = src.queryExecution.executedPlan.toString
     val densePlan = dense.df.queryExecution.executedPlan.toString
-    assert(!densePlan.contains("Exchange"),
-      s"unexpected exchange in the broadcast dense-id plan:\n$densePlan")
+    // id assignment adds ZERO exchanges on top of whatever the source
+    // itself does (the fixture reader repartitions its small base rows)
+    assert(exchanges(densePlan) == exchanges(srcPlan),
+      s"broadcast dense-id added an exchange:\n$densePlan")
     assert(densePlan.toLowerCase.contains("idlookup"), densePlan)
     dense.unpersist()
 
