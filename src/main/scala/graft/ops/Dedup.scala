@@ -158,11 +158,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[verifyJaccard]] with the per-pair intersection FUSED into the
+    * candidate join [ROUND_NOTES r3 #2]: each doc's full sorted shingle
+    * set rides the join once as an array column and the intersection is
+    * one codegen `array_intersect` per candidate row — no pair×shingle
+    * row blowup, no per-pair aggregation shuffle, and the sizes join
+    * disappears (sz = size(set)). Identical output to [[verifyJaccard]]
+    * (same rounding, same filter; Round3Spec asserts equality): shuffle
+    * bytes trade pair-overlap rows for whole-doc arrays, a wash at
+    * near-dup thresholds (overlap ≈ doc size) in exchange for 3 fewer
+    * shuffles on the verify path.
+    */
+  def verifyJaccardFused(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"))
+    cands
+      .join(sets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("za.set"), col("zb.set"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("za.set")) + size(col("zb.set")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Full MinHash-LSH near-dup pipeline over docs. */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shinglesCached(docs)
     val cands = lshCandidates(minhash(spark, sh))
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccardFused(cands, sh, threshold)
   }
 
   /** EXACT n-gram Jaccard near-dup (the minhash pipeline's exact twin),
@@ -206,7 +234,7 @@ object Dedup {
             lit(t) / (1 + t) * (col("a.sz") + col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccardFused(cands, sh, threshold)
   }
 
   /** DuckDB oracle for [[ngramJaccardNearDups]]. */

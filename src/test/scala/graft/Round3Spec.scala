@@ -58,6 +58,12 @@ class Round3Spec extends SparkSpec {
     val naive = collectPairs(Dedup.verifyJaccard(cands, sh, 0.5))
     assert(got == naive)
     assert(got.nonEmpty)
+    // and the fused (array-intersect) verify equals the join+agg verify
+    // on the same candidate set — the minhash pipeline's contract
+    val cand2 = Dedup.lshCandidates(
+      Dedup.minhash(spark, sh))
+    assert(collectPairs(Dedup.verifyJaccardFused(cand2, sh, 0.5)) ==
+      collectPairs(Dedup.verifyJaccard(cand2, sh, 0.5)))
   }
 
   // ------------------------------------------------------------------
