@@ -213,10 +213,13 @@ object Dedup {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
-    val byDoc = Window.partitionBy(col("doc_id"))
+    // sz uses the SAME partition+order spec as r (explicit unbounded
+    // frame): Catalyst then evaluates both in ONE WindowExec over one
+    // sort, instead of two Window nodes with separate per-doc sorts
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("r", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("sz", count(lit(1)).over(byRarity.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("r") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("doc_id"), col("shingle"), col("r"), col("sz"))
     // candidate pruning inside the prefix join, all exact (classic
