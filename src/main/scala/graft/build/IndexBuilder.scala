@@ -253,10 +253,19 @@ object IndexBuilder {
             sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
       // fused content→features→argmin assignment, one codegen call per
       // row with a reused feature buffer — no feat array column, no udf
-      // Seq boxing on the build's biggest stage (r3; ClusterAssignExpr)
+      // Seq boxing on the build's biggest stage (r3; ClusterAssignExpr).
+      // Late r3: doc_len rides the SAME scan (packed Long) — the
+      // docsFromCounted TokenCountExpr column is dropped and its
+      // second full tokenize pass pruned from this job entirely
+      // (token count == sum of feature buckets, property-tested)
       val clustered = dense.df
-        .withColumn("cluster_id", graft.functions.ClusterAssignExpr
-          .clusterId(col("content"), centroids, cfg.distance))
+        .drop("doc_len")
+        .withColumn("_cl", graft.functions.ClusterAssignExpr
+          .clusterIdAndLen(col("content"), centroids, cfg.distance))
+        .withColumn("cluster_id", shiftright(col("_cl"), 32).cast("int"))
+        .withColumn("doc_len",
+          col("_cl").bitwiseAND(lit(0xffffffffL)).cast("int"))
+        .drop("_cl")
         .observe(obs, metrics.head, metrics.tail: _*)
       // granule-slot exchange ahead of the write: each task holds a few
       // CONTIGUOUS (cluster, doc range) slices → ~2 files per cluster

@@ -52,6 +52,43 @@ case class ClusterAssignExpr(
     copy(child = newChild)
 }
 
+/** [[ClusterAssignExpr]] that ALSO yields the doc length from the same
+  * scan, packed as `(cluster_id << 32) | token_count` in one Long: the
+  * token count is the sum of the hashed-term-count buckets (every token
+  * increments exactly one bucket — including the non-ASCII fallback),
+  * so the docstore write's map side tokenizes each doc ONCE where it
+  * previously ran this scan AND TokenCountExpr separately. Unpack with
+  * `shiftright(_, 32)` / `bitwiseAND(0xffffffff)`; CollapseProject does
+  * not inline non-cheap expressions into multiple references, so the
+  * packed column is evaluated once.
+  */
+case class ClusterAssignLenExpr(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    dist: Distance) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  @transient private lazy val buf = new Array[Long](CoarseClusterer.Dim)
+
+  override def nullSafeEval(input: Any): Any =
+    ClusterAssignExpr.assignLenInto(
+      input.asInstanceOf[UTF8String], buf, centroids, dist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val dRef = ctx.addReferenceObj("dist", dist, classOf[Distance].getName)
+    val bufTerm = ctx.addMutableState("long[]", "featBuf",
+      v => s"$v = new long[${CoarseClusterer.Dim}];")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ClusterAssignExpr.assignLenInto(" +
+        s"$c, $bufTerm, $cRef, $dRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClusterAssignLenExpr =
+    copy(child = newChild)
+}
+
 object ClusterAssignExpr {
 
   /** Features of the UTF8String's bytes written into `buf` (reused),
@@ -111,9 +148,31 @@ object ClusterAssignExpr {
     finalizeHash(h, end - start)
   }
 
+  /** Features + argmin + token count in one scan (see
+    * [[ClusterAssignLenExpr]]); the count equals
+    * `Tokenizer.countTokens` exactly (property-tested).
+    */
+  def assignLenInto(s: UTF8String, buf: Array[Long],
+      centroids: Array[Array[Double]], dist: Distance): Long = {
+    val ok = featuresInto(s, buf)
+    val feat =
+      if (ok) buf
+      else CoarseClusterer.featuresOf(s.toString)
+    var len = 0L
+    var i = 0
+    while (i < feat.length) { len += feat(i); i += 1 }
+    (CoarseClusterer.assign(feat, centroids, dist).toLong << 32) | len
+  }
+
   /** Column form. */
   def clusterId(content: Column, centroids: Array[Array[Double]],
       dist: Distance): Column =
     GraftColumnBridge.column(ClusterAssignExpr(
+      GraftColumnBridge.expression(content), centroids, dist))
+
+  /** Column form of the packed (cluster_id, doc_len) variant. */
+  def clusterIdAndLen(content: Column, centroids: Array[Array[Double]],
+      dist: Distance): Column =
+    GraftColumnBridge.column(ClusterAssignLenExpr(
       GraftColumnBridge.expression(content), centroids, dist))
 }

@@ -372,6 +372,19 @@ class Round3Spec extends SparkSpec {
             CoarseClusterer.assign(CoarseClusterer.featuresOf(t), cs, d)
         })
       assert(res.passed, res.status.toString)
+      // the packed (cluster, doc_len) variant: same cluster, and the
+      // length equals the reference token count exactly
+      val res2 = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(300),
+        Prop.forAll(texts) { t =>
+          val p = graft.functions.ClusterAssignExpr
+            .assignLenInto(UTF8String.fromString(t), buf, cs, d)
+          (p >> 32).toInt ==
+            CoarseClusterer.assign(CoarseClusterer.featuresOf(t), cs, d) &&
+            (p & 0xffffffffL).toInt ==
+              graft.tokenize.Tokenizer.countTokens(t)
+        })
+      assert(res2.passed, res2.status.toString)
     }
   }
 
