@@ -130,12 +130,13 @@ object Corpus {
       sortCols: Seq[String],
       idCol: String,
       numPartitions: Int = 0,
-      strategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto")): DenseId = {
+      strategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"),
+      broadcastMaxDocs: Long = IdBroadcastMaxDocs): DenseId = {
     require(Set("auto", "broadcast", "exchange")(strategy),
       s"unknown id strategy: $strategy")
     if (strategy == "exchange") withDenseIdExchange(df, sortCols, idCol, numPartitions)
     else withDenseIdBroadcast(df, sortCols, idCol, numPartitions,
-      forced = strategy == "broadcast")
+      forced = strategy == "broadcast", maxDocs = broadcastMaxDocs)
       .getOrElse(withDenseIdExchange(df, sortCols, idCol, numPartitions))
 
   }
@@ -148,7 +149,8 @@ object Corpus {
       sortCols: Seq[String],
       idCol: String,
       numPartitions: Int,
-      forced: Boolean): Option[DenseId] = {
+      forced: Boolean,
+      maxDocs: Long): Option[DenseId] = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -160,7 +162,7 @@ object Corpus {
     // buffering hashes (count continues) and the driver falls back
     val cap =
       if (forced) Long.MaxValue
-      else math.max(65536L, 4L * IdBroadcastMaxDocs / parts)
+      else math.max(16L, 4L * maxDocs / parts)
     // cached: the range partitioner's boundary-sampling job and the
     // collect job below both read the keys — without the cache each
     // would re-derive them from the source (for generated/projected
@@ -189,7 +191,7 @@ object Corpus {
     if (total == 0) return Some(DenseId(
       df.withColumn(idCol, lit(0L)).filter(lit(false)), 0L, () => ()))
     if (!forced &&
-        (total > IdBroadcastMaxDocs || perPart.exists(p => p._2 > p._3.length)))
+        (total > maxDocs || perPart.exists(p => p._2 > p._3.length)))
       return None
     val map = new graft.functions.LongLongMap(total)
     var id = 0L

@@ -329,6 +329,50 @@ class Round3Spec extends SparkSpec {
     denseEx.unpersist()
   }
 
+  test("broadcast id strategy falls back exactly: over-threshold and duplicate keys") {
+    import spark.implicits._
+    // over the threshold: the capped keys pass must bail to the exchange
+    // strategy (plan shows the stateful offset expression, not idlookup)
+    val df = spark.range(0, 1000).toDF("x")
+      .withColumn("key", concat(lit("k"), lpad(col("x").cast("string"), 5, "0")))
+    val small = Corpus.withDenseIdCounted(df, Seq("key"), "id",
+      broadcastMaxDocs = 10L)
+    val smallPlan = small.df.queryExecution.executedPlan.toString
+    assert(!smallPlan.toLowerCase.contains("idlookup"), smallPlan)
+    assert(smallPlan.contains("partitionoffsetrowindex"), smallPlan)
+    assert(small.numRows == 1000)
+    assert(small.df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 1000L))
+    small.unpersist()
+
+    // duplicate keys: detected on the driver, exchange fallback (ids
+    // still a dense permutation)
+    val dup = df.withColumn("key", lit("same"))
+    val d = Corpus.withDenseIdCounted(dup, Seq("key"), "id")
+    assert(!d.df.queryExecution.executedPlan.toString
+      .toLowerCase.contains("idlookup"))
+    assert(d.df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 1000L))
+    d.unpersist()
+
+    // forced broadcast with duplicate keys must refuse loudly, never
+    // mis-assign
+    intercept[IllegalArgumentException] {
+      Corpus.withDenseIdCounted(dup, Seq("key"), "id", strategy = "broadcast")
+    }
+  }
+
+  test("LongLongMap: collision-free puts, probe chains, and rejects") {
+    val m = new graft.functions.LongLongMap(1000)
+    // adversarial keys sharing low bits force linear-probe chains
+    val keys = (0 until 1000).map(i => (i.toLong << 40) | 0x5aL)
+    keys.zipWithIndex.foreach { case (k, v) => assert(m.put(k, v.toLong)) }
+    keys.zipWithIndex.foreach { case (k, v) => assert(m.get(k) == v.toLong) }
+    assert(m.get(0x1234567890L) == -1L) // absent
+    assert(!m.put(keys.head, 999L)) // duplicate key reported
+    assert(m.size == 1000)
+  }
+
   test("broadcast and exchange id strategies assign identical ids") {
     val src = Corpus.sourceTable(spark, sf0001)
     def ids(strategy: String): (Long, Seq[(String, String, String, Long)]) = {
