@@ -65,19 +65,25 @@ object Dedup {
   // shingles + minhash
   // ------------------------------------------------------------------
 
-  /** (doc_id, shingle) distinct word-ShingleN-grams. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  /** (doc_id, shingle) distinct word-ShingleN-grams.
+    *
+    * Sliding windows are per-ROW (consecutive tokens of one doc), so
+    * they are built directly from the token array with `transform` —
+    * all codegen, zero exchange. The r1-r3 form posexploded to 13M+
+    * (pos, term) rows and ran two `lead()` windows over a FULL shuffle
+    * partitioned by doc_id just to see each token's two successors;
+    * identical output (tokens i,i+1,i+2 for i in [0, n-3], then
+    * distinct — the only remaining shuffle).
+    */
+  def shingles(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), Tokenizer.tokensCol(col("content")).as("toks"))
       .select(col("doc_id"),
-        posexplode(Tokenizer.tokensCol(col("content"))).as(Seq("pos", "term")))
-      .withColumn("t1", lead(col("term"), 1).over(w))
-      .withColumn("t2", lead(col("term"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("term"), col("t1"), col("t2")).as("shingle"))
+        explode(when(size(col("toks")) >= ShingleN,
+          expr(("transform(sequence(0, size(toks) - " + ShingleN + "), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
-  }
 
   // one shingle cache PER DOCS FRAME, shared by the minhash and exact
   // n-gram pipelines: each used to persist its own copy, and in a
