@@ -148,25 +148,32 @@ object TextStats {
   val FingerprintK = 5
   val FingerprintW = 4
 
-  /** (doc_id, fingerprint) — the doc's distinct winnowed fingerprints. */
+  /** (doc_id, fingerprint) — the doc's distinct winnowed fingerprints.
+    *
+    * Entirely per-row (same rewrite as Dedup.shingles): k-gram hashes
+    * and their rolling-window minima come off the token array with
+    * `transform`/`slice`/`array_min` — all codegen, zero exchange —
+    * where the r2 form posexploded to (pos, term) rows and ran k-1
+    * `lead()`s plus a rolling-min window over a full doc_id-partitioned
+    * shuffle. Identical values (gram i = tokens i..i+k-1; fingerprint i
+    * = min of hashes i..i+w-1, tails shortened — the same
+    * rows-between-current-and-w-1 rule the oracle twin keeps).
+    */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, FingerprintW - 1)
-    val gramCols = (1 until FingerprintK)
-      .map(i => lead(col("term"), i).over(w))
+    val k = FingerprintK
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     docs
+      .select(col("doc_id"), tokensC.as("toks"))
+      .withColumn("hs",
+        when(size(col("toks")) >= k,
+          expr(s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> CAST(conv(substring(md5($gram), 1, 15), 16, 10) AS BIGINT)" +
+            s" % ${Dedup.P})"))
+          .otherwise(expr("CAST(array() AS array<bigint>)")))
       .select(col("doc_id"),
-        posexplode(tokensC).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("pos"), col("term"),
-        concat_ws(" ", (col("term") +: gramCols): _*).as("gram"),
-        gramCols.last.isNotNull.as("full"))
-      .filter(col("full")) // only complete k-grams carry a hash
-      .withColumn("h", graft.ops.Dedup.hash60(col("gram")) % Dedup.P)
-      .withColumn("fingerprint", min(col("h")).over(win))
-      .select(col("doc_id"), col("fingerprint"))
+        explode(expr(
+          s"transform(hs, (x, i) -> array_min(slice(hs, i + 1, $FingerprintW)))"))
+          .as("fingerprint"))
       .distinct()
       .orderBy("doc_id", "fingerprint")
   }
