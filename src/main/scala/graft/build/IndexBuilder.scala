@@ -532,18 +532,58 @@ object IndexBuilder {
       else selected
     val blocks = routed
       .as[(Long, Int, String, Int)]
-      .flatMap { case (docId, clusterId, content, dl) =>
-        val toks = Tokenizer.tokenize(content)
-        val byTerm = scala.collection.mutable.LinkedHashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-        var i = 0
-        toks.foreach { t =>
-          byTerm.getOrElseUpdate(t,
-            scala.collection.mutable.ArrayBuffer.empty[Int]) += i
-          i += 1
+      .mapPartitions { docRows =>
+        // per-term position grouping with REUSED structures: the
+        // tokenize→group loop runs once per doc over the whole corpus,
+        // and a fresh map + per-term growable buffers per doc cost
+        // ~d small allocations × docs on exactly the resource (G1
+        // allocation throughput) that does not scale with threads in a
+        // shared JVM. One HashMap + a pool of int buffers serve every
+        // doc of the partition; only the Posting rows and their
+        // positions arrays (the actual output) are allocated. Emission
+        // order per doc is irrelevant — the local sort below
+        // canonicalizes on (cluster, granule, term, doc), unique per
+        // posting.
+        final class PosBuf {
+          var a = new Array[Int](8)
+          var n = 0
+          def add(p: Int): Unit = {
+            if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+            a(n) = p; n += 1
+          }
+          def result(): Array[Int] = java.util.Arrays.copyOfRange(a, 0, n)
         }
-        byTerm.iterator.map { case (t, ps) =>
-          Posting(t, clusterId, docId, ps.length, dl, ps.toArray)
+        val byTerm = new java.util.HashMap[String, PosBuf]()
+        val pool = new scala.collection.mutable.ArrayBuffer[PosBuf]()
+        docRows.flatMap { case (docId, clusterId, content, dl) =>
+          val toks = Tokenizer.tokenize(content)
+          byTerm.clear()
+          var used = 0
+          var i = 0
+          toks.foreach { t =>
+            var b = byTerm.get(t)
+            if (b == null) {
+              if (used == pool.length) pool += new PosBuf
+              b = pool(used)
+              b.n = 0
+              used += 1
+              byTerm.put(t, b)
+            }
+            b.add(i)
+            i += 1
+          }
+          // materialized eagerly: the pooled buffers are reused by the
+          // NEXT doc, so the row iterator must not read them lazily
+          val out = new Array[Posting](byTerm.size)
+          var j = 0
+          val it = byTerm.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val b = e.getValue
+            out(j) = Posting(e.getKey, clusterId, docId, b.n, dl, b.result())
+            j += 1
+          }
+          out.iterator
         }
       }
       .sortWithinPartitions(
