@@ -44,15 +44,26 @@ final class GraphCoarseSearch(
     d
   }
 
+  /** True top entry point: levels are deterministic (levelOf), and the
+    * build promotes the entry only on a strictly higher level, so the
+    * entry is the FIRST node reaching the max level — recomputable for
+    * persisted graphs, and correct even when the top layer holds a
+    * single node whose adjacency list is empty [ADVICE r3: the
+    * nonempty-adjacency guess degenerated to node 0 there].
+    */
+  private lazy val topEntry: Int =
+    if (upperLayers.isEmpty) 0
+    else (0 until n)
+      .find(i => GraphCoarseSearch.levelOf(i) >= upperLayers.length)
+      .getOrElse(0)
+
   /** Entry node for the level-0 search: greedy descent through the
     * upper layers from the top entry (the highest-level, lowest-id
     * node); node 0 when there are no upper layers (small-kc regime).
     */
   private def descend(query: Array[Double]): Int = {
     if (upperLayers.isEmpty) return 0
-    var cur = upperLayers.last.indices
-      .find(i => upperLayers.last(i).nonEmpty)
-      .getOrElse(0)
+    var cur = topEntry
     var lev = upperLayers.length - 1
     while (lev >= 0) {
       val adj = upperLayers(lev)

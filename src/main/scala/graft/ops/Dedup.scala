@@ -92,14 +92,22 @@ object Dedup {
   // the wall clock [BENCH r3: q_dedup_ngram 2.6s standalone vs 11.8s
   // mid-bench]. Keyed by frame identity: SparkEntry hands out one stable
   // docs frame per sfDir.
+  // Bounded (identity-keyed, insertion-ordered): callers that build a
+  // fresh docs frame per call (tests, tools) would otherwise leak one
+  // MEMORY_AND_DISK cache per call forever [ADVICE r3]. Evicted entries
+  // are unpersisted; SparkEntry's one-frame-per-sfDir usage never
+  // evicts.
+  private val ShCacheMax = 4
   private val shCache =
-    new java.util.IdentityHashMap[DataFrame, DataFrame]()
+    new scala.collection.mutable.ArrayDeque[(DataFrame, DataFrame)]()
 
   def shinglesCached(docs: DataFrame): DataFrame = shCache.synchronized {
-    Option(shCache.get(docs)).getOrElse {
+    shCache.collectFirst { case (k, v) if k eq docs => v }.getOrElse {
       val s = shingles(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      shCache.put(docs, s)
+      shCache.append((docs, s))
+      while (shCache.size > ShCacheMax)
+        shCache.removeHead()._2.unpersist(blocking = false)
       s
     }
   }

@@ -96,16 +96,21 @@ object StreamingAppend {
       s"${intent.batchId}: docs>=${intent.numDocsBefore}, " +
       s"segments>${intent.maxSegBefore}")
     def rewrite(sub: String, keep: DataFrame => DataFrame): Unit = {
-      val dir = s"$indexDir/$sub"
-      if (new java.io.File(dir).isDirectory) {
+      val live = java.nio.file.Paths.get(s"$indexDir/$sub")
+      val aside = java.nio.file.Paths.get(s"$indexDir/${sub}_old")
+      // A previous rollback may have died between moving the live dir
+      // aside and installing the rewrite; the live dir is then absent
+      // but the aside copy holds the full pre-rollback state. Restore
+      // it so the (idempotent range-filter) rewrite runs again.
+      if (!java.nio.file.Files.isDirectory(live) &&
+          java.nio.file.Files.isDirectory(aside))
+        java.nio.file.Files.move(aside, live)
+      if (java.nio.file.Files.isDirectory(live)) {
         val tmp = s"$indexDir/${sub}_rollback"
-        keep(spark.read.parquet(dir))
+        keep(spark.read.parquet(live.toString))
           .write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
-        val live = java.nio.file.Paths.get(dir)
-        val aside = java.nio.file.Paths.get(s"$indexDir/${sub}_old")
         org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
-        if (java.nio.file.Files.exists(live))
-          java.nio.file.Files.move(live, aside)
+        java.nio.file.Files.move(live, aside)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
         org.apache.commons.io.FileUtils.deleteQuietly(aside.toFile)
       }
@@ -127,8 +132,19 @@ object StreamingAppend {
   /** Idempotent micro-batch application; returns true iff the batch was
     * newly indexed (false = replay skipped).
     */
-  def applyBatch(indexDir: String, batch: DataFrame, batchId: Long): Boolean =
-    if (batchId <= lastAppliedBatch(indexDir)) {
+  def applyBatch(indexDir: String, batch: DataFrame, batchId: Long): Boolean = {
+    val last = lastAppliedBatch(indexDir)
+    // An intent whose batch is already recorded as applied is a
+    // leftover from a crash between recordApplied and clearIntent —
+    // that batch COMMITTED; rolling it back would lose acknowledged
+    // data (and the skipped replay would never re-apply it).
+    pendingIntent(indexDir).filter(_.batchId <= last)
+      .foreach { i =>
+        System.err.println(s"[stream] clearing stale intent for " +
+          s"committed batch ${i.batchId}")
+        clearIntent(indexDir)
+      }
+    if (batchId <= last) {
       System.err.println(
         s"[stream] batch $batchId already applied - skipping replay")
       false
@@ -148,6 +164,7 @@ object StreamingAppend {
       System.err.println(s"[stream] batch $batchId applied")
       !batch.isEmpty
     }
+  }
 
   /** The input_hint table shape. */
   val sourceSchema: StructType = StructType(Seq(
