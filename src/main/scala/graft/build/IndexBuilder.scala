@@ -117,10 +117,17 @@ object IndexBuilder {
       spark: SparkSession,
       sfDir: String,
       indexDir: String,
-      cfg: BuildConfig = BuildConfig()): BuildResult =
+      cfg: BuildConfig = BuildConfig()): BuildResult = {
+    // exact row count from parquet metadata (footer-only job, ~ms):
+    // amplification is a pure ×factor, so the docstore step's sample
+    // stride needs no count job on its critical path — the same
+    // metadata count any table format (parquet/Iceberg) serves for free
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").count()
     buildFromSource(spark,
       Corpus.sourceTable(spark, sfDir, cfg.amplify), indexDir, cfg,
-      lineageName = sfDir)
+      lineageName = sfDir,
+      knownRows = base * cfg.amplify)
+  }
 
   /** Build from any F1-shaped source DataFrame; `idOrder` defines the
     * dense docID order (compaction passes the old id).
@@ -131,7 +138,8 @@ object IndexBuilder {
       indexDir: String,
       cfg: BuildConfig = BuildConfig(),
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
-      lineageName: String = "<dataframe>"): BuildResult = {
+      lineageName: String = "<dataframe>",
+      knownRows: Long = 0L): BuildResult = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val sfDir = lineageName
@@ -201,42 +209,99 @@ object IndexBuilder {
     // write's range-partitioner sampling; the granule-hash exchange
     // needs no sampling at all.
     step("docstore") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // The step's head used to be THREE sequential driver jobs (keys-
+      // only id pass → kmeans-sample collect → fit) before the write
+      // could even launch — pure critical path that a multi-executor
+      // cluster would overlap. r4 runs them CONCURRENTLY: the keys pass
+      // and the sample collect are independent jobs (the sample is
+      // key-hash-strided, not doc_id-strided, so it no longer waits on
+      // the id map), and for corpora past the 10k sample cap the kmeans
+      // fit runs the moment the sample lands, overlapping the keys
+      // pass's tail. Fixture-scale corpora (n <= 10k ⇒ fitStep == 1)
+      // sample EVERY doc either way and keep the id-seeded fit, so their
+      // centroids — and every golden result — are bit-identical to r3.
+      //
       // the GRAFT_DOCSTORE_SHUFFLE=0 experiment writes straight from the
       // dense-id partitioning, which is only granule-aligned under the
       // exchange id strategy (the broadcast strategy leaves rows in
       // source order — writing from it would break the disjoint-doc-
       // range-per-file invariant the zero-shuffle postings step needs)
-      val dense = Corpus.docsFromCounted(source, idOrder,
-        idStrategy =
-          if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "0")
-            "exchange"
-          else sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"))
-      val n = dense.numRows
-      require(n > 0, "empty source")
-      val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(n)
-      // kmeans fits driver-locally on a deterministic doc_id-strided
+      val denseF = Future {
+        Corpus.docsFromCounted(source, idOrder,
+          idStrategy =
+            if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "0")
+              "exchange"
+            else sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"))
+      }
+      // row count for stride/kc sizing: metadata-derived when the
+      // caller knows it (build() always does — parquet/Iceberg row
+      // counts are free), else a column-pruned count job that runs
+      // while the keys pass is in flight (for a deterministic source
+      // it equals the keys pass's own count exactly)
+      val nEst = if (knownRows > 0) knownRows else source.count()
+      require(nEst > 0, "empty source")
+      val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(nEst)
+      // kmeans fits driver-locally on a deterministic key-hash-strided
       // sample (at real scale you never run Lloyd's over the full
       // corpus); assignment below still covers every doc. The sample is
-      // capped at 10k: the fit is a SERIAL driver cost, and a
+      // capped at ~10k: the fit is a SERIAL driver cost, and a
       // partitioning signal does not improve past that. Only this
       // bounded sample ever materializes a `feat` column — the full
       // corpus is assigned by the fused zero-allocation expression below.
-      val fitStep = math.max(1L, n / 10000)
-      val sample = CoarseClusterer.withFeatures(dense.df)
-        .filter(col("doc_id") % fitStep === 0)
+      val fitStep = math.max(1L, nEst / 10000)
+      val keyHash = xxhash64(idOrder.map(col): _*)
+      val sampleHF = Future {
+        CoarseClusterer.withFeatures(
+            source.filter(pmod(keyHash, lit(fitStep)) === lit(0L)))
+          .select(keyHash.as("h"), col("feat"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      }
+      // fitStep > 1: seeds keyed by (murmur3(hash), hash) — id-free, so
+      // the fit overlaps the keys pass instead of serializing after it
+      val fitF: Future[Array[Array[Double]]] =
+        if (fitStep > 1) sampleHF.map { sh =>
+          if (sh.isEmpty) null
+          else CoarseClusterer.fitLocal(sh, kc, dist = cfg.distance)
+        } else null
+      val dense = Await.result(denseF, Duration.Inf)
+      val n = dense.numRows
+      require(n > 0, "empty source")
+      // sample with doc_ids (granule weights need them): broadcast id
+      // strategy resolves them driver-side from the exact hash→id map —
+      // zero extra jobs; the exchange fallback re-derives the r3
+      // doc_id-strided sample from the id'd frame (one bounded job,
+      // fallback path only)
+      lazy val sampleIdsFallback = CoarseClusterer
+        .withFeatures(dense.df.filter(col("doc_id") % fitStep === 0))
         .select("doc_id", "feat")
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-      val centroids =
-        CoarseClusterer.fitLocal(sample, kc, dist = cfg.distance)
+      val sampleIds: Array[(Long, Array[Long])] = dense.idOfHash match {
+        case Some(m) =>
+          val sh = Await.result(sampleHF, Duration.Inf)
+          val resolved = sh.map { case (h, f) => (m.get(h), f) }
+            .filter(_._1 >= 0).sortBy(_._1)
+          if (resolved.nonEmpty) resolved else sampleIdsFallback
+        case None => sampleIdsFallback
+      }
+      val centroids = {
+        val pre =
+          if (fitF != null) Await.result(fitF, Duration.Inf) else null
+        if (pre != null) pre
+        else CoarseClusterer.fitLocal(sampleIds, kc, dist = cfg.distance)
+      }
       saveCentroids(indexDir, centroids)
       val parts = spark.sessionState.conf.numShufflePartitions
       val window = granuleWindow(n, parts)
       // granule weights estimated from the (deterministic) kmeans sample
       // drive contiguous slot assignment here and in the postings step —
       // balanced tasks, low file counts, no partitioner sampling pass
-      val weights = sample
+      val weights = sampleIds
         .map { case (id, f) =>
           (CoarseClusterer.assign(f, centroids, cfg.distance), id / window)
         }
@@ -378,8 +443,13 @@ object IndexBuilder {
         // posting files
         val factor = sys.env.getOrElse("GRAFT_POSTINGS_READ_FACTOR", "1")
           .toInt
+        // floor 1 MB (was 4 MB): the amplified bench docstore
+        // dictionary-compresses to ~15-30 MB, and the 4 MB floor
+        // collapsed the whole postings read to ~6 tasks — a 4-thread
+        // level ran a 2-wave job with an idle tail. At real scale
+        // bytes/parts dominates the floor either way.
         spark.conf.set(mpbKey,
-          math.max(4L << 20,
+          math.max(1L << 20,
             totalBytes / math.max(1, parts * factor)).toString)
       }
       import scala.concurrent.{Await, Future}

@@ -112,11 +112,16 @@ object Corpus {
 
   /** Dense-id result: the id'd frame, the TOTAL row count (free — both
     * strategies learn it from their per-partition counts, so callers
-    * never need a separate count job), and an unpersist handle for the
+    * never need a separate count job), an unpersist handle for the
     * exchange strategy's internal post-shuffle cache (no-op under the
-    * broadcast strategy, which caches nothing).
+    * broadcast strategy, which caches nothing), and — broadcast strategy
+    * only — the exact driver-held (xxhash64(key) → id) map, letting
+    * callers resolve ids for rows they already hold WITHOUT another job
+    * (IndexBuilder maps its concurrently-collected kmeans sample).
     */
-  final case class DenseId(df: DataFrame, numRows: Long, unpersist: () => Unit)
+  final case class DenseId(df: DataFrame, numRows: Long,
+      unpersist: () => Unit,
+      idOfHash: Option[graft.functions.LongLongMap] = None)
 
   /** Broadcast-strategy cutover: above this many rows the (hash → id)
     * map (~32 B/row) is no longer worth collecting/broadcasting and the
@@ -210,7 +215,7 @@ object Corpus {
     val bc = spark.sparkContext.broadcast(map)
     val out = df.withColumn(idCol,
       graft.functions.IdLookupExpr.col(xxhash64(cols: _*), bc))
-    Some(DenseId(out, total, () => ()))
+    Some(DenseId(out, total, () => (), idOfHash = Some(map)))
   }
 
   private def withDenseIdExchange(
