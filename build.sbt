@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 worker threads churning strings need headroom; the box has 125 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.getOrElse("GRAFT_JVM_GC", "").split(" ").filter(_.nonEmpty)

@@ -722,12 +722,24 @@ object IndexBuilder {
   def writeDictionary(spark: SparkSession, indexDir: String, n: Long): Long = {
     val tmp = s"$indexDir/dictionary_tmp"
     val obs = Observation()
-    spark.read.parquet(s"$indexDir/postings")
+    // read-task sizing: the scan touches three tiny metadata columns of
+    // the postings files; the session's fine-grained maxPartitionBytes
+    // (tuned for content scans) fragments it into ~80 near-empty tasks
+    // whose scheduling overhead dominates the sub-second aggregation
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val mpbPrev = spark.conf.get(mpbKey)
+    val postingsBytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(s"$indexDir/postings"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set(mpbKey,
+      math.max(4L << 20, postingsBytes / math.max(1, parts)).toString)
+    try spark.read.parquet(s"$indexDir/postings")
       .groupBy(col("term"))
       .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
       .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
       .observe(obs, count(lit(1)).as("vocab"))
       .write.mode("overwrite").parquet(tmp)
+    finally spark.conf.set(mpbKey, mpbPrev)
     // swap: move the live dir ASIDE first, then the new one in, then
     // drop the aside copy — a crash mid-swap leaves a recoverable
     // dictionary_old instead of no dictionary at all [ADVICE r1]
