@@ -114,13 +114,23 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (if (n == "q_index_build") "0" else "1") + n
     }
+    // min of 2 reps per query: the bench previously timed each query
+    // ONCE, so a single noisy draw landed in the artifact unmitigated
+    // (r3: q_index_build recorded 4.92s vs 2.5s best; q_dedup_ngram
+    // spread 3.9-8.2s mid-bench) [VERDICT r3 #3]. q_index_build stays
+    // single-rep: its second run would resume the already-built index
+    // and measure nothing.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
-      val (_, secs) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-        }
-      }
+      val reps = if (name == "q_index_build") 1 else queryReps
+      val secs = (1 to reps).map { _ =>
+        timed {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          }
+        }._2
+      }.min
       name -> secs
     }
     // MUST stop before the scaling runs: getOrCreate would otherwise

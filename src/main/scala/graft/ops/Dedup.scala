@@ -242,6 +242,18 @@ object Dedup {
     //  - positional: for the FIRST shared shingle (rarity order),
     //    o <= min(|a|-ra, |b|-rb) + 1, so a qualifying pair passes the
     //    test on at least that row — per-row filtering stays complete.
+    // Pair-level positional upper bound REPLACES the former distinct()
+    // (same groupBy shuffle, so it costs nothing) and prunes before the
+    // verify join touches shingle arrays [VERDICT r3 #2 — the 409k-pair
+    // exact verify was the bench's slowest stage]. Exactness: ranks are
+    // consistent with the global (df, shingle) order inside every doc,
+    // so any shared shingle beyond the o_p prefix-prefix matches must
+    // order AFTER the last matching row in BOTH docs (were it earlier,
+    // its ranks would fall inside both prefixes and it would BE a
+    // match) — hence overlap <= o_p + min(sz_a - max(r_a),
+    // sz_b - max(r_b)), and the rounded Jaccard is monotone in the
+    // overlap, so filtering the bound with the verify's own rounded
+    // predicate can never drop a qualifying pair.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -249,8 +261,18 @@ object Dedup {
             lit(t) * greatest(col("a.sz"), col("b.sz")) &&
           (least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) + 1) >=
             lit(t) / (1 + t) * (col("a.sz") + col("b.sz")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.r").as("ra"), col("a.sz").as("sza"),
+        col("b.r").as("rb"), col("b.sz").as("szb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("op"),
+        max(col("ra")).as("ram"), max(col("rb")).as("rbm"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      .withColumn("ub", col("op") +
+        least(col("sza") - col("ram"), col("szb") - col("rbm")))
+      .filter(round(col("ub").cast("double") /
+        (col("sza") + col("szb") - col("ub")), 4) >= t)
+      .select("doc_a", "doc_b")
     verifyJaccardFused(cands, sh, threshold)
   }
 

@@ -75,17 +75,17 @@ object IndexSearcher {
     val kc = manifest.kc
     val centroids = manifest.centroids
     val metric = graft.cluster.Distance.byName(manifest.distance)
-    // the persisted graph's edges are SqEuclidean-kNN; under another Dc
-    // the probe falls back to the naive exact argsort
-    val useGraph = graphProbe.getOrElse(kc > GraphProbeKcThreshold) &&
-      (metric eq graft.cluster.Distance.SqEuclidean)
+    // the graph is built AND probed under the index's coarse metric
+    // (r4; it used to be SqEuclidean-only with a silent naive fallback
+    // for any other Dc — exactly when the sub-linear probe mattered)
+    val useGraph = graphProbe.getOrElse(kc > GraphProbeKcThreshold)
     // P2: the persisted adjacency when present, else a deterministic
     // rebuild (pre-r2 manifests)
     lazy val graph =
       if (manifest.coarse_graph.nonEmpty)
         new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph,
-          manifest.coarse_graph_upper)
-      else new graft.cluster.GraphCoarseSearch(centroids)
+          manifest.coarse_graph_upper, metric)
+      else graft.cluster.GraphCoarseSearch(centroids, metric = metric)
     // pre-r2 manifests have no granule window: single split
     val window = if (manifest.granule_window > 0) manifest.granule_window
       else Long.MaxValue

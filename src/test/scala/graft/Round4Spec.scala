@@ -63,6 +63,51 @@ class Round4Spec extends SparkSpec {
     assert(ManifestIO.read(s"$dir/manifest.json").num_docs == m0.num_docs + 5)
   }
 
+  test("graph coarse probe under cosine Dc == naive argsort, end to end") {
+    import graft.cluster.{Distance, GraphCoarseSearch}
+    import graft.query.IndexSearcher
+    // kc forced past GraphProbeKcThreshold so the graph path engages
+    val dir = Files.createTempDirectory("graft-r4-cosine-graph").toString
+    IndexBuilder.build(spark, sf0001, dir,
+      IndexBuilder.BuildConfig(resume = false, kc = 96,
+        distance = Distance.Cosine))
+    val m = ManifestIO.read(s"$dir/manifest.json")
+    assert(m.distance == "cosine")
+    assert(m.coarse_graph.nonEmpty)
+    val queries = Seq(
+      1 -> Seq("def", "return", "value"),
+      2 -> Seq("import", "class"),
+      3 -> Seq("for", "while", "index", "loop"))
+    // exact-subset semantics (the probe is approximate over WHICH cells
+    // it visits, never over scores): every row the cosine graph path
+    // returns must carry the doc's exact full-scan BM25 score
+    val graphRows = IndexSearcher.topK(spark, dir, queries, 10, w = 4,
+        graphProbe = Some(true), ef = 96)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(graphRows.nonEmpty)
+    val fullScores = IndexSearcher.topK(spark, dir, queries, 2000)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(2)), r.getDouble(3))).toMap
+    graphRows.foreach { case (qid, doc, score) =>
+      assert(fullScores.get((qid, doc)).contains(score),
+        s"graph-path score mismatch for q$qid doc $doc")
+    }
+
+    // rank identity of the probe itself under cosine needs a complete
+    // graph (an 8-NN DIGRAPH need not reach every node, so ef=kc is
+    // exact only when traversal can): numNeighbors = kc-1
+    val g = GraphCoarseSearch(m.centroids,
+      numNeighbors = m.centroids.length - 1, metric = Distance.Cosine)
+    (0 until 10).foreach { s =>
+      val q = Array.tabulate(graft.cluster.CoarseClusterer.Dim)(i =>
+        ((i * 31 + s * 17) % 7).toDouble)
+      val naive = m.centroids.indices
+        .map(c => (Distance.Cosine(q, m.centroids(c)), c))
+        .sortBy(identity).take(5).map(_._2)
+      assert(g.probe(q, 5, ef = m.centroids.length) == naive)
+    }
+  }
+
   test("rollback self-heals when a prior rollback died mid-swap") {
     val dir = Files.createTempDirectory("graft-r4-midswap").toString
     IndexBuilder.build(spark, sf0001, dir,
