@@ -85,9 +85,10 @@ object IvfAdc {
     *
     * `quantDist` = the reference's Dr kwarg
     * (/root/reference/src/index.jl:109, default SqEuclidean at
-    * src/defaults.jl:8); `method` = `quantization_method` :pq|:opq
-    * (index.jl:110) — :opq trains + persists a rotation
-    * (src/persistency.jl:62-64 analog).
+    * src/defaults.jl:8); `method` = `quantization_method`
+    * :pq|:opq|opq_np (index.jl:110) — the opq flavors train + persist
+    * a rotation (src/persistency.jl:62-64 analog; opq_np = the
+    * non-parametric joint alternation).
     */
   def build(
       spark: SparkSession,

@@ -108,6 +108,44 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("non-parametric OPQ: orthogonal rotation, beats plain PQ, roundtrips") {
+    import graft.parity.{IvfAdc, Pq}
+    import scala.util.hashing.MurmurHash3
+    // same correlated fixture shape as Round3Spec's parametric test:
+    // the identity subspace split straddles the correlation
+    def h(i: Int, j: Int): Double =
+      math.floorMod(MurmurHash3.productHash((i, j)), 1000) / 1000.0 - 0.5
+    val residuals = Array.tabulate(2000) { i =>
+      val a = h(i, 0)
+      val b = h(i, 1)
+      Array(a, b, a + 0.01 * h(i, 2), b + 0.01 * h(i, 3)).map(_.toFloat)
+    }
+    val pq = Pq.train(residuals, m = 2, k = 8, maxIter = 10)
+    val np = Pq.train(residuals, m = 2, k = 8, maxIter = 10,
+      method = "opq_np")
+    // RᵀR = I
+    val r = np.rotation.get
+    val dim = r.length
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    val ePq = Pq.quantizationError(pq, residuals)
+    val eNp = Pq.quantizationError(np, residuals)
+    assert(eNp < ePq, s"opq_np=$eNp should beat pq=$ePq here")
+    // deterministic: retrain gives identical books + rotation
+    val np2 = Pq.train(residuals, m = 2, k = 8, maxIter = 10,
+      method = "opq_np")
+    assert(np2.rotation.get.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+    assert(np2.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      np.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // rotation roundtrips through persistence
+    val p = Files.createTempFile("graft-opq-np", ".json").toString
+    IvfAdc.save(p, IvfAdc.Model(1, Array(Array.fill(4)(0.0)), np))
+    assert(IvfAdc.load(p).codebooks.rotation.get.map(_.toSeq).toSeq ==
+      r.map(_.toSeq).toSeq)
+  }
+
   test("rollback self-heals when a prior rollback died mid-swap") {
     val dir = Files.createTempDirectory("graft-r4-midswap").toString
     IndexBuilder.build(spark, sf0001, dir,
