@@ -96,21 +96,28 @@ object Dedup {
   // fresh docs frame per call (tests, tools) would otherwise leak one
   // MEMORY_AND_DISK cache per call forever [ADVICE r3]. Evicted entries
   // are unpersisted; SparkEntry's one-frame-per-sfDir usage never
-  // evicts.
-  private val ShCacheMax = 4
-  private val shCache =
-    new scala.collection.mutable.ArrayDeque[(DataFrame, DataFrame)]()
+  // evicts. Keys are (frame identity, tag) so derived frames (shingles,
+  // PPJoin prefixes) share the one bounded structure.
+  private val FrameCacheMax = 8
+  private val frameCache = new scala.collection.mutable.ArrayDeque[
+    ((DataFrame, String), DataFrame)]()
 
-  def shinglesCached(docs: DataFrame): DataFrame = shCache.synchronized {
-    shCache.collectFirst { case (k, v) if k eq docs => v }.getOrElse {
-      val s = shingles(docs)
+  private def cachedFrame(docs: DataFrame, tag: String)
+      (build: => DataFrame): DataFrame = frameCache.synchronized {
+    frameCache.collectFirst {
+      case ((k, t), v) if (k eq docs) && t == tag => v
+    }.getOrElse {
+      val f = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      shCache.append((docs, s))
-      while (shCache.size > ShCacheMax)
-        shCache.removeHead()._2.unpersist(blocking = false)
-      s
+      frameCache.append(((docs, tag), f))
+      while (frameCache.size > FrameCacheMax)
+        frameCache.removeHead()._2.unpersist(blocking = false)
+      f
     }
   }
+
+  def shinglesCached(docs: DataFrame): DataFrame =
+    cachedFrame(docs, "shingles")(shingles(docs))
 
   /** MinHash signatures: (doc_id, i, mh) for i in 0..H-1.
     *
@@ -229,13 +236,20 @@ object Dedup {
       .orderBy(col("df"), col("shingle"))
     // sz uses the SAME partition+order spec as r (explicit unbounded
     // frame): Catalyst then evaluates both in ONE WindowExec over one
-    // sort, instead of two Window nodes with separate per-doc sorts
-    val prefix = sh.join(dfreq, "shingle")
-      .withColumn("r", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(byRarity.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("r") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("doc_id"), col("shingle"), col("r"), col("sz"))
+    // sort, instead of two Window nodes with separate per-doc sorts.
+    // MATERIALIZED once (bounded cache): the self-join's two sides
+    // otherwise EACH re-execute the dfreq join + window sort — the r4
+    // plan audit showed 38 exchanges with zero reuse. PPJoin's own
+    // algorithm materializes the prefix index before joining; at scale
+    // the window sort is the expensive part, so computing it once is
+    // the right plan there too.
+    val prefix = cachedFrame(docs, s"ppjoin-prefix@$t")(
+      sh.join(dfreq, "shingle")
+        .withColumn("r", row_number().over(byRarity))
+        .withColumn("sz", count(lit(1)).over(byRarity.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("r") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+        .select(col("doc_id"), col("shingle"), col("r"), col("sz")))
     // candidate pruning inside the prefix join, all exact (classic
     // PPJoin filters; o = |a∩b|, J >= t ⟺ o >= t(|a|+|b|)/(1+t)):
     //  - length: J >= t needs min(|a|,|b|) >= t·max(|a|,|b|);
