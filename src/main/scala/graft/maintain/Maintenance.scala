@@ -244,10 +244,15 @@ object Maintenance {
       .join(broadcast(deadDf), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("old_doc_id"),
         col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+    // survivor count from the manifest: dead ids all exist (delete()
+    // validated them), so the rebuild's sample-stride sizing needs no
+    // count job [r4: knownRows skips the head count]
+    val n = ManifestIO.read(s"$indexDir/manifest.json").num_docs
     IndexBuilder.buildFromSource(spark, survivors, outDir,
       IndexBuilder.BuildConfig(resume = false),
       idOrder = Seq("old_doc_id"),
-      lineageName = s"compact($indexDir)")
+      lineageName = s"compact($indexDir)",
+      knownRows = n - dead.size)
   }
 
   /** M7: exact reconstruction from the lossless docstore. */
