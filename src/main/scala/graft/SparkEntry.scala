@@ -28,6 +28,18 @@ object SparkEntry {
       Corpus.docs(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // One stable embeddings frame per sfDir: three ANN queries and the
+  // embed-dedup each re-read the parquet otherwise, and the stable
+  // identity lets plan-level caches (CacheManager canonical matching)
+  // converge on one copy.
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    embCache.getOrElseUpdate(dir,
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 derived source table + per-row sha256 invariant (input_hint).
@@ -117,7 +129,7 @@ object SparkEntry {
     // codegen'd — no UDF) for 5 fixed query vectors.
     "q_ann_brute" -> ((s, dir) =>
       graft.ops.Similarity.bruteForceTopK(s,
-        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L, 3L, 4L), 5)),
+        embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
 
     // ANN scale path: IVFADC (kmeans coarse cells + PQ-ADC scan) — the
     // reference's own algorithm as a Spark job; approximate, so
@@ -125,7 +137,7 @@ object SparkEntry {
     // asserted in IvfAdcParitySpec).
     "q_ann_ivfadc" -> ((s, dir) => {
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = embeddings(s, dir)
       val (model, encoded) = graft.parity.IvfAdc.build(s, emb, kc = 8, m = 4, k = 16)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").cast("long"), col("embedding"))
@@ -165,7 +177,7 @@ object SparkEntry {
     // cell-pair join + chunked exact kernels).
     "q_dedup_embed" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(
-        s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
+        embeddings(s, dir), 0.45)),
 
     // Language-ID heuristic (stopword ratios + argmax).
     "q_lang_id" -> ((s, dir) => graft.ops.TextStats.langId(docs(s, dir))),

@@ -65,4 +65,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("In(term"),
       plan.take(800))
   }
+
+  test("ngram self-join reads the MATERIALIZED prefix on both sides") {
+    // r4 regression guard: the PPJoin self-join's sides used to each
+    // re-execute the prefix chain (dfreq join + per-doc window sort —
+    // 38 exchanges, zero reuse). The prefix is now persisted, so the
+    // executed plan must serve BOTH join sides from InMemoryTableScan
+    // and carry no Window below the join.
+    val docs = graft.sources.Corpus.docs(spark, sf0001)
+    val q = graft.ops.Dedup.ngramJaccardNearDups(docs, 0.5)
+    assert(q.count() > 0) // materialize (finalizes AQE + fills caches)
+    // walk the FINALIZED adaptive plan, descending through query
+    // stages; an InMemoryTableScan's cached plan is NOT a child, so
+    // operators behind the cache are correctly excluded
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: QueryStageExec => qs +: walk(qs.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(q.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    // shingles + prefix caches, each read from at least the two join
+    // sides → several cached scans; zero means the materialization
+    // regressed and the window chain re-executes per side
+    assert(scans >= 2, s"expected >=2 cached scans, got $scans\n" +
+      q.queryExecution.executedPlan.toString.take(1200))
+    // and no WindowExec executes OUTSIDE a cached relation
+    val liveWindows = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(liveWindows == 0,
+      s"prefix window must live behind the cache, found $liveWindows live")
+  }
 }
