@@ -513,15 +513,14 @@ object Dedup {
     import spark.implicits._
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
 
-    val norm = udf { (v: Seq[Double]) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
+    // codegen norm (no UDF boxing on the full-table pass): aggregate()
+    // folds left in element order — bit-identical doubles to the
+    // sequential loop it replaces [VERDICT r3 observation #5]
     val e = embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("n", norm(col("e")))
+      .withColumn("n",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
       .cache()
 
     // driver-local deterministic kmeans on a BOUNDED strided sample of
