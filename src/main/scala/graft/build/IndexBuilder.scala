@@ -270,6 +270,11 @@ object IndexBuilder {
       val dense = Await.result(denseF, Duration.Inf)
       val n = dense.numRows
       require(n > 0, "empty source")
+      if (knownRows > 0 && knownRows != n)
+        // harmless (knownRows only sizes the sample stride/kc) but a
+        // caller passing a wrong count deserves a breadcrumb
+        System.err.println(s"[build] knownRows=$knownRows != actual $n" +
+          " rows; sample stride was sized from the hint")
       // sample with doc_ids (granule weights need them): broadcast id
       // strategy resolves them driver-side from the exact hash→id map —
       // zero extra jobs; the exchange fallback re-derives the r3
