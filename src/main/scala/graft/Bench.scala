@@ -123,15 +123,17 @@ object Bench {
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
       val reps = if (name == "q_index_build") 1 else queryReps
-      val secs = (1 to reps).map { _ =>
-        timed {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-          }
-        }._2
-      }.min
-      name -> secs
+      def once(): Double = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+      }._2
+      var times = (1 to reps).map(_ => once())
+      // a >2x spread between reps is an ambient-load draw (cross-tenant
+      // steal), not the query: one extra rep pins the min
+      if (reps > 1 && times.max > 2 * times.min) times = times :+ once()
+      name -> times.min
     }
     // MUST stop before the scaling runs: getOrCreate would otherwise
     // hand the scaling loop this 32-thread session instead of local[N]
