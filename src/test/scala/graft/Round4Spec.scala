@@ -108,6 +108,61 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("concurrent head-of-build is deterministic: two builds identical") {
+    // r4 runs the keys pass, sample collect, and fit concurrently —
+    // this pins that scheduling cannot leak into the output
+    def build(): (String, graft.build.IndexManifest) = {
+      val dir = Files.createTempDirectory("graft-r4-det").toString
+      IndexBuilder.build(spark, sf0001, dir,
+        IndexBuilder.BuildConfig(resume = false))
+      (dir, ManifestIO.read(s"$dir/manifest.json"))
+    }
+    val (dirA, a) = build()
+    val (dirB, b) = build()
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    assert(a.num_docs == b.num_docs && a.avgdl == b.avgdl &&
+      a.vocab_size == b.vocab_size)
+    assert(a.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings))
+      == b.partitions.map(p => (p.cluster_id, p.num_docs, p.num_postings)))
+    val qs = graft.query.QuerySet.queries.take(3)
+    val ra = graft.query.IndexSearcher.topK(spark, dirA, qs, 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val rb = graft.query.IndexSearcher.topK(spark, dirB, qs, 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(ra == rb && ra.nonEmpty)
+  }
+
+  test("non-ASCII content builds, preserves sha, and is searchable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("repo-u", "src/u/a.txt", "u00000000001", "txt",
+        "función añadida été 東京 naïve quartz"),
+      ("repo-u", "src/u/b.txt", "u00000000002", "txt",
+        "日本語のドキュメント quartz naïve"),
+      ("repo-u", "src/u/c.txt", "u00000000003", "txt",
+        "plain ascii quartz document"))
+    val src = rows.toDF("repo", "path", "commit", "lang", "content")
+    val dir = Files.createTempDirectory("graft-r4-uni").toString
+    IndexBuilder.buildFromSource(spark, src, dir,
+      IndexBuilder.BuildConfig(resume = false, kc = 2))
+    val store = spark.read.parquet(s"$dir/docstore")
+    assert(store.count() == 3)
+    // per-row sha invariant holds for multibyte content
+    val shas = store.select("content", "content_sha").collect()
+    shas.foreach { r =>
+      val expect = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(1) == expect)
+    }
+    // the ascii-token search surface still works (the tokenizer
+    // lowercases ascii word chars; multibyte chars are separators)
+    val hits = graft.query.IndexSearcher
+      .topK(spark, dir, Seq(1 -> Seq("quartz")), 5).collect()
+    assert(hits.length == 3) // all three docs contain "quartz"
+  }
+
   test("non-parametric OPQ: orthogonal rotation, beats plain PQ, roundtrips") {
     import graft.parity.{IvfAdc, Pq}
     import scala.util.hashing.MurmurHash3
