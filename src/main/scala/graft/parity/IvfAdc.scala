@@ -141,6 +141,9 @@ object IvfAdc {
       k: Int,
       w: Int): DataFrame = {
     import spark.implicits._
+    // reference knn_search asserts (/root/reference/src/index.jl:210-211)
+    require(k >= 1, s"number of neighbors must be k >= 1, got $k")
+    require(w >= 1, s"number of clusters to search must be w >= 1, got $w")
 
     // driver-side coarse search (Q2): top-w cells per query by distance,
     // ties toward lower cluster id (stable sortperm)

@@ -70,6 +70,11 @@ object IndexSearcher {
       // (max(16, 2w) — small kc degenerates to exact)
       ef: Int = 0): DataFrame = {
     import spark.implicits._
+    // the reference's knn_search argument checks
+    // (/root/reference/src/index.jl:210-211); w > kc clamps like its
+    // `w = min(w, nclusters)`
+    require(k >= 1, s"number of neighbors must be k >= 1, got $k")
+    require(w >= 1, s"number of clusters to search must be w >= 1, got $w")
 
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
     val kc = manifest.kc
