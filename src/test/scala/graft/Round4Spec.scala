@@ -163,6 +163,44 @@ class Round4Spec extends SparkSpec {
     assert(hits.length == 3) // all three docs contain "quartz"
   }
 
+  test("PPJoin positional upper bound prunes AND stays complete on long docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    // fixture docs have ~5 shingles, where the bound can't prune (ub
+    // stays above threshold); these 30-60-token docs from a small
+    // vocabulary make it engage, so completeness is tested where the
+    // filter actually fires. Deterministic generation.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def tok(i: Int, j: Int): String =
+      vocab(math.floorMod(scala.util.hashing.MurmurHash3
+        .productHash((i, j)), vocab.size))
+    val base = (0 until 80).map { i =>
+      val len = 30 + math.floorMod(i * 7, 31)
+      (i.toLong, (0 until len).map(tok(i, _)).mkString(" "))
+    }
+    // plant guaranteed near-dups: shifted copies of some docs
+    val dups = (0 until 20).map { i =>
+      val (_, text) = base(i * 3)
+      (1000L + i, text.split(" ").drop(2).mkString(" ") + " omega")
+    }
+    val docs = (base ++ dups).toDF("doc_id", "content")
+    val got = Dedup.ngramJaccardNearDups(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // ground truth: full inverted self-join candidates + same verify
+    val sh = Dedup.shingles(docs)
+    val cands = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val naive = Dedup.verifyJaccard(cands, sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == naive)
+    assert(got.size >= 20, s"planted near-dups must surface, got ${got.size}")
+  }
+
   test("non-parametric OPQ: orthogonal rotation, beats plain PQ, roundtrips") {
     import graft.parity.{IvfAdc, Pq}
     import scala.util.hashing.MurmurHash3
