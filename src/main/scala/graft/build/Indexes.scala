@@ -19,6 +19,12 @@ object Indexes {
     s"/tmp/graft-index-v$FormatVersion$slug"
   }
 
+  /** Drop the memo for sfDir so the next [[ensureBuilt]] really builds
+    * (bench passes delete the index dir between suite passes so each
+    * pass's q_index_build measures a full build, not a resume).
+    */
+  def invalidate(sfDir: String): Unit = built.remove(sfDir)
+
   /** Ensure an index exists for sfDir (resume-aware); returns indexDir. */
   def ensureBuilt(spark: SparkSession, sfDir: String): String =
     built.getOrElseUpdate(sfDir, {

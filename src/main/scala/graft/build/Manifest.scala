@@ -74,6 +74,12 @@ case class IndexManifest(
     // build replaces the exact kNN edges (r3; the reference's
     // HierarchicalNSW layers, /root/reference/src/coarsequantizers.jl:58)
     coarse_graph_upper: Array[Array[Array[Int]]] = Array.empty,
+    // metric the persisted graph's edges were BUILT under [ADVICE r4]:
+    // pre-r4 builders always built SqEuclidean edges regardless of
+    // `distance`, so a non-sqeuclidean index must not silently probe a
+    // mismatched graph — searchers rebuild when this doesn't match
+    // `distance` ("" in pre-r5 manifests)
+    coarse_graph_metric: String = "",
     lineage: InputLineage,
     partitions: Seq[PartitionMeta],
     segments: Seq[SegmentMeta])

@@ -549,21 +549,15 @@ object Dedup {
       else collectNorm(e.orderBy("vec_id"))
     val centroids = graft.cluster.CoarseClusterer
       .fitLocalDouble(sample, EmbedCells)
-    val bc = spark.sparkContext.broadcast(centroids)
 
-    val assignU = udf { (v: Seq[Double], nn: Double) =>
-      val u = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { u(i) = v(i) / math.max(nn, 1e-300); i += 1 }
-      val c = graft.cluster.CoarseClusterer.argminDist(u, bc.value)
-      val d = math.sqrt(
-        graft.cluster.CoarseClusterer.distances(u, bc.value)(c))
-      (c, d)
-    }
+    // fused codegen normalize→argmin (no udf boxing on the pre-kernel
+    // full-table pass; bit-identical geometry — see EmbedCellAssignExpr)
     val assigned = e
-      .withColumn("cd", assignU(col("e"), col("n")))
+      .withColumn("cd",
+        graft.functions.EmbedCellAssignExpr.col(col("e"), col("n"), centroids))
       .select(col("vec_id"), col("e"), col("n"),
-        col("cd._1").as("cell"), col("cd._2").as("dist"))
+        col("cd").getItem(0).cast("int").as("cell"),
+        col("cd").getItem(1).as("dist"))
       .cache()
 
     // per-cell radii -> candidate cell pairs (a <= b), exact superset

@@ -84,10 +84,19 @@ object IndexSearcher {
     // (r4; it used to be SqEuclidean-only with a silent naive fallback
     // for any other Dc — exactly when the sub-linear probe mattered)
     val useGraph = graphProbe.getOrElse(kc > GraphProbeKcThreshold)
-    // P2: the persisted adjacency when present, else a deterministic
-    // rebuild (pre-r2 manifests)
+    // P2: the persisted adjacency when present AND built under this
+    // index's metric, else a deterministic rebuild. A manifest recording
+    // no build metric ("" — pre-r5) is trusted only for sqeuclidean:
+    // every earlier builder built SqEuclidean edges for that case, while
+    // a non-sqeuclidean index with an unstamped graph may hold pre-r4
+    // SqEuclidean edges whose probe would silently degrade recall
+    // [ADVICE r4]
+    val graphMetricOk =
+      manifest.coarse_graph_metric == manifest.distance ||
+        (manifest.coarse_graph_metric.isEmpty &&
+          manifest.distance == "sqeuclidean")
     lazy val graph =
-      if (manifest.coarse_graph.nonEmpty)
+      if (manifest.coarse_graph.nonEmpty && graphMetricOk)
         new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph,
           manifest.coarse_graph_upper, metric)
       else graft.cluster.GraphCoarseSearch(centroids, metric = metric)
