@@ -86,7 +86,17 @@ object IndexBuilder {
       // encode (the r3 default reads the granule-aligned docstore files
       // with no exchange at all — same query results either way)
       postingsExchange: Boolean =
-        sys.env.getOrElse("GRAFT_POSTINGS_SHUFFLE", "0") == "1")
+        sys.env.getOrElse("GRAFT_POSTINGS_SHUFFLE", "0") == "1",
+      // slim the docstore slot exchange for derivable sources (build()
+      // supplies the Corpus re-derivation; see Corpus.SourceRederive).
+      // DEFAULT OFF — measured and rejected for this corpus shape
+      // (SlimProbe, 3 interleaved reps at bench conditions: T1 min
+      // 60.9s vs 55.1s, T4 20.5s vs 18.5s, efficiency 0.743 vs 0.746):
+      // the bit-exact restore needs a second sha2 per row for `commit`,
+      // which costs more CPU than the ~40 B/row of shuffle bytes saved.
+      // The lever stays for sources whose keys restore cheaply.
+      slimExchange: Boolean =
+        sys.env.getOrElse("GRAFT_SLIM_EXCHANGE", "0") == "1")
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
@@ -126,7 +136,11 @@ object IndexBuilder {
     buildFromSource(spark,
       Corpus.sourceTable(spark, sfDir, cfg.amplify), indexDir, cfg,
       lineageName = sfDir,
-      knownRows = base * cfg.amplify)
+      knownRows = base * cfg.amplify,
+      exchangeSlim =
+        if (cfg.slimExchange)
+          Some((Corpus.SourceRederive.slim _, Corpus.SourceRederive.restore _))
+        else None)
   }
 
   /** Build from any F1-shaped source DataFrame; `idOrder` defines the
@@ -149,7 +163,13 @@ object IndexBuilder {
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
       lineageName: String = "<dataframe>",
       knownRows: Long = 0L,
-      fixedCentroids: Option[Array[Array[Double]]] = None): BuildResult = {
+      fixedCentroids: Option[Array[Array[Double]]] = None,
+      // (slim, restore) projection pair around the docstore slot
+      // exchange for sources whose key columns are derivable — restore
+      // MUST be bit-exact (the docstore is the source of truth for every
+      // later step); only build() supplies one (Corpus.SourceRederive)
+      exchangeSlim: Option[(DataFrame => DataFrame, DataFrame => DataFrame)] =
+        None): BuildResult = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val sfDir = lineageName
@@ -364,17 +384,32 @@ object IndexBuilder {
       // would pay 64 B/row of exchange bytes (the non-scaling resource)
       // to save a sha2 recompute (CPU, which scales) — backwards at 4
       // threads and at 4N executors alike
+      // exchangeSlim (r5): for derivable sources, repo/path/commit are
+      // additionally dropped through the exchange and re-derived after —
+      // the same bytes-for-CPU trade as the sha recompute, ~40 B/row off
+      // the one content shuffle (the docstore write map stage's shuffle
+      // write is the build's residual non-scaling cost, BASELINE.md)
+      // the task-local sort runs on the SLIM rows (before restore/sha):
+      // the write task's external sorter then holds ~60 fewer bytes per
+      // row, and the narrow derive projection above the Sort preserves
+      // row order, so the parquet files stay (cluster_id, doc_id)-sorted
       val toWrite =
-        if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "1")
-          clustered
-            .drop("content_sha")
-            .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
-            .repartition(parts, col("_slot"))
-            .drop("_slot")
+        if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "1") {
+          val (slimF, restoreF) = exchangeSlim.getOrElse(
+            (identity[DataFrame] _, identity[DataFrame] _))
+          val exchanged = restoreF(
+            slimF(clustered.drop("content_sha"))
+              .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
+              .repartition(parts, col("_slot"))
+              .drop("_slot")
+              .sortWithinPartitions(col("cluster_id"), col("doc_id")))
             .withColumn("content_sha", sha2(col("content"), 256))
-        else clustered
+          // canonical column order regardless of what restore appended
+          exchanged.select("doc_id", "repo", "path", "commit", "lang",
+            "content", "cluster_id", "doc_len", "content_sha")
+        } else clustered
+          .sortWithinPartitions(col("cluster_id"), col("doc_id"))
       toWrite
-        .sortWithinPartitions(col("cluster_id"), col("doc_id"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(s"$indexDir/docstore")

@@ -60,6 +60,40 @@ object Corpus {
       col("lang"),
       col("text").as("content"))
 
+  /** Exchange slimming for the GENERATED source table (the build()
+    * path only — an arbitrary F1 source makes no such promise):
+    * `repo`/`path`/`commit` are pure functions of (base doc id, source,
+    * lang), all recoverable from `path` itself
+    * (`src/<source>/<id>.<lang>`). Shipping them through the docstore
+    * slot exchange pays ~40 B/row of shuffle bytes — the non-scaling
+    * resource under the north_rule criterion — to save a post-exchange
+    * re-derivation that is pure CPU, which scales. [[slim]] replaces the
+    * three columns with the packed (`_oid` long, `_src` dictionary
+    * string) pair before the exchange; [[restore]] re-derives them
+    * BIT-IDENTICALLY after (same concat/sha2 arithmetic as
+    * [[sourceTable]]; equality property-tested in Round5Spec).
+    */
+  object SourceRederive {
+    def slim(df: DataFrame): DataFrame = df
+      .withColumn("_oid",
+        substring_index(substring_index(col("path"), "/", -1), ".", 1)
+          .cast("long"))
+      .withColumn("_src",
+        substring_index(substring_index(col("path"), "/", 2), "/", -1))
+      .drop("repo", "path", "commit")
+
+    def restore(df: DataFrame): DataFrame = df
+      .withColumn("repo",
+        concat(lit("repo-"), (col("_oid") % 13).cast("string")))
+      .withColumn("path",
+        concat(lit("src/"), col("_src"), lit("/"),
+          col("_oid").cast("string"), lit("."), col("lang")))
+      .withColumn("commit",
+        substring(sha2(concat(lit("c"), col("_oid").cast("string")), 256),
+          1, 12))
+      .drop("_oid", "_src")
+  }
+
   /** DuckDB CTE body producing the identical F1 table from `documents`.
     * NB: `commit` is a DuckDB keyword — always quoted.
     */

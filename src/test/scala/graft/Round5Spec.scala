@@ -99,6 +99,34 @@ class Round5Spec extends SparkSpec {
     assert(rebuilt == intact)
   }
 
+  test("SourceRederive slim→restore is bit-exact; slim build == unslim build") {
+    import graft.sources.Corpus
+    // column-level roundtrip on the generated source table
+    val src = Corpus.sourceTable(spark, sf0001, amplify = 3)
+    val cols = Seq("repo", "path", "commit", "lang", "content")
+    val orig = src.select(cols.map(col): _*)
+      .orderBy("repo", "path", "commit").collect().toSeq
+    val round = Corpus.SourceRederive.restore(Corpus.SourceRederive.slim(src))
+      .select(cols.map(col): _*)
+      .orderBy("repo", "path", "commit").collect().toSeq
+    assert(round == orig)
+    // whole-build equivalence: the docstore written through the slimmed
+    // exchange is identical to the unslimmed one
+    val dirA = Files.createTempDirectory("graft-r5-slim-on").toString
+    val dirB = Files.createTempDirectory("graft-r5-slim-off").toString
+    IndexBuilder.build(spark, sf0001, dirA,
+      IndexBuilder.BuildConfig(resume = false, slimExchange = true))
+    IndexBuilder.build(spark, sf0001, dirB,
+      IndexBuilder.BuildConfig(resume = false, slimExchange = false))
+    def dump(d: String) = spark.read.parquet(s"$d/docstore")
+      .select("doc_id", "repo", "path", "commit", "lang", "content",
+        "content_sha", "doc_len", "cluster_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(dump(dirA) == dump(dirB))
+    assert(ManifestIO.read(s"$dirA/manifest.json").num_docs ==
+      ManifestIO.read(s"$dirB/manifest.json").num_docs)
+  }
+
   test("EmbedCellAssignExpr bit-identical to the udf it replaced") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
