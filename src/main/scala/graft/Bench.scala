@@ -40,8 +40,14 @@ object Bench {
       // zstd shuffle/spill blocks: ~25% fewer bytes through the
       // non-scaling memory/page-cache path for CPU that scales — the
       // r3 A/B showed the best local[4] walls (lz4 was the r2 pick;
-      // uncompressed was already ruled out in r2)
+      // uncompressed was already ruled out in r2). Level tuning (r5):
+      // TWO interleaved SlimProbe A/Bs (1 vs 3, then 2 vs 3; 3 reps
+      // each at bench conditions) found no reproducible difference —
+      // T1 54-58 s / T4 18.4-20.1 s under every level, spreads
+      // overlapping. Level 1 (the Spark default) stays; env-tunable.
       .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.zstd.level",
+        sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -212,9 +218,12 @@ object Bench {
       // each level. All reps are reported for transparency.
       // ≥4 reps: r2's 2-rep draw showed ±16% noise at local[1]
       // (reps_n = [76.06, 65.36]) and cost ~0.15 recorded efficiency —
-      // the min over 4 interleaved reps pins each level's real
-      // capability [VERDICT r2 #1a]
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+      // the min over interleaved reps pins each level's real capability
+      // [VERDICT r2 #1a]. 5 (r5, was 4): the r4 recorded run's local[1]
+      // reps fell monotonically 186→54 s as an ambient-load window
+      // cleared mid-run — one more pair costs ~75 s and buys each level
+      // another shot at a quiet window.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
       var files = 0L
       val times = scala.collection.mutable.Map[Int, Vector[Double]]()
         .withDefaultValue(Vector.empty)

@@ -16,6 +16,8 @@ object SlimProbe {
     val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "3").toInt
     val zstdLevels = sys.env.getOrElse("GRAFT_PROBE_ZSTD", "1")
       .split(",").map(_.trim.toInt)
+    val slims = sys.env.getOrElse("GRAFT_PROBE_SLIMS", "false,true")
+      .split(",").map(_.trim.toBoolean)
 
     def session(n: Int, zstd: Int): SparkSession = {
       val s = SparkSession.builder().master(s"local[$n]")
@@ -49,7 +51,7 @@ object SlimProbe {
       Vector[Double]]().withDefaultValue(Vector.empty)
     (1 to reps).foreach { rep =>
       for {
-        slim <- Seq(false, true)
+        slim <- slims.toSeq
         zstd <- zstdLevels
         n <- Seq(1, 4)
       } {
