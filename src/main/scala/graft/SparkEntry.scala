@@ -40,6 +40,10 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // shared per-(term, doc) frequency frame (see Bm25SqlPath.termFreqs)
+  private def termFreqs(d: DataFrame): DataFrame =
+    Bm25SqlPath.termFreqs(d)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 derived source table + per-row sha256 invariant (input_hint).
@@ -49,22 +53,23 @@ object SparkEntry {
           col("lang"), col("content_sha"), col("doc_len"))
         .orderBy("doc_id")),
 
-    // Corpus stats: N, avgdl, vocabulary size (X1/X2 analogs).
+    // Corpus stats: N, avgdl, vocabulary size (X1/X2 analogs). Vocab
+    // rides the shared per-(term,doc) frequency frame (r5 — one
+    // tokenize pass serves this, q_dictionary, and the BM25 SQL path).
     "q_corpus_stats" -> ((s, dir) => {
       val d = docs(s, dir)
-      val vocab = d
-        .select(explode(Tokenizer.tokensCol(col("content"))).as("term"))
+      val vocab = termFreqs(d)
         .agg(countDistinct(col("term")).as("vocab"))
       d.agg(count(lit(1)).as("n"), round(avg(col("doc_len")), Bm25.Scale).as("avgdl"))
         .crossJoin(vocab)
     }),
 
     // Dictionary: per-term df/cf (B6 dictionary stats; salted two-phase
-    // variant lives in the index build path).
+    // variant lives in the index build path). df = rows per term of the
+    // combined (term, doc) frame, cf = Σ tf — same arithmetic as the
+    // former explode+double-group, one shared derivation.
     "q_dictionary" -> ((s, dir) => {
-      val d = docs(s, dir)
-      d.select(col("doc_id"), explode(Tokenizer.tokensCol(col("content"))).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      termFreqs(docs(s, dir))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
         .orderBy(col("df").desc, col("term"))

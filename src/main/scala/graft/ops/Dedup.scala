@@ -90,31 +90,12 @@ object Dedup {
   // many-query session the duplicate 260k-row caches (plus their
   // rederivation — tokenize + window + distinct — on any miss) dominated
   // the wall clock [BENCH r3: q_dedup_ngram 2.6s standalone vs 11.8s
-  // mid-bench]. Keyed by frame identity: SparkEntry hands out one stable
-  // docs frame per sfDir.
-  // Bounded (identity-keyed, insertion-ordered): callers that build a
-  // fresh docs frame per call (tests, tools) would otherwise leak one
-  // MEMORY_AND_DISK cache per call forever [ADVICE r3]. Evicted entries
-  // are unpersisted; SparkEntry's one-frame-per-sfDir usage never
-  // evicts. Keys are (frame identity, tag) so derived frames (shingles,
-  // PPJoin prefixes) share the one bounded structure.
-  private val FrameCacheMax = 8
-  private val frameCache = new scala.collection.mutable.ArrayDeque[
-    ((DataFrame, String), DataFrame)]()
-
+  // mid-bench]. The bounded structure itself now lives in
+  // [[DerivedFrameCache]] (r5) so the BM25 SQL path's term-frequency
+  // frame shares the same bound and eviction.
   private def cachedFrame(docs: DataFrame, tag: String)
-      (build: => DataFrame): DataFrame = frameCache.synchronized {
-    frameCache.collectFirst {
-      case ((k, t), v) if (k eq docs) && t == tag => v
-    }.getOrElse {
-      val f = build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      frameCache.append(((docs, tag), f))
-      while (frameCache.size > FrameCacheMax)
-        frameCache.removeHead()._2.unpersist(blocking = false)
-      f
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    DerivedFrameCache(docs, tag)(build)
 
   def shinglesCached(docs: DataFrame): DataFrame =
     cachedFrame(docs, "shingles")(shingles(docs))

@@ -24,6 +24,26 @@ import graft.tokenize.Tokenizer
   */
 object Bm25SqlPath {
 
+  /** Per-(term, doc) frequencies of a docs frame — QUERY-INDEPENDENT,
+    * derived once per frame identity through the bounded
+    * DerivedFrameCache (r5) and shared by the SQL scoring path,
+    * q_dictionary, and q_corpus_stats: the Lucene-shaped trade — the
+    * first call pays one full tokenize+combine pass (which the uncached
+    * form paid per call anyway, minus a broadcast term pre-filter), and
+    * every later query — interactive single or 200-query batch — joins
+    * the combined 1-row-per-(term,doc) frame instead of re-exploding
+    * the corpus. Map-side partial aggregation absorbs stop-word keys
+    * exactly as in the dictionary build.
+    */
+  def termFreqs(docs: DataFrame): DataFrame =
+    graft.ops.DerivedFrameCache(docs, "bm25-tf")(
+      docs.select(
+          col("doc_id"),
+          col("doc_len").as("dl"),
+          explode(Tokenizer.tokensCol(col("content"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+
   /** Top-k BM25 over `docs` (needs doc_id, content, doc_len) for a batch
     * of queries. Output: (query_id, rank, doc_id, score) ordered.
     */
@@ -41,17 +61,7 @@ object Bm25SqlPath {
       count(lit(1)).as("n"),
       avg(col("doc_len")).as("avgdl"))
 
-    // (doc_id, dl, term) for query terms only — broadcast semi-filter
-    // keeps the explode narrow and the parquet scan pruned to `content`.
-    val toks = docs.select(
-      col("doc_id"),
-      col("doc_len").as("dl"),
-      explode(Tokenizer.tokensCol(col("content"))).as("term"))
-    val hits = toks.join(broadcast(qterms), "term")
-
-    val tf = hits
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val tf = termFreqs(docs).join(broadcast(qterms), "term")
 
     // df per query term == full-corpus df for those terms.
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
