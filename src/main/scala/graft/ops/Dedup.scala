@@ -569,14 +569,17 @@ object Dedup {
     val pairsDf = spark.createDataFrame(cellPairs).toDF("ca", "cb", "cdist")
 
     // chunked members per cell: each kernel row carries two primitive
-    // matrices — the blocked exact-GEMM shape, never row-pair explosion
+    // matrices — the blocked exact-GEMM shape, never row-pair explosion.
+    // Chunking is threshold-independent (cells and chunk membership
+    // never read r), so the windowed collect_list — the heaviest
+    // pre-kernel stage — is derived once per embeddings frame (r5).
     val win = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
-    val chunks = assigned
+    val chunks = cachedFrame(embeddings, "embed-chunks")(assigned
       .withColumn("chunk",
         ((row_number().over(win) - 1) / EmbedChunk).cast("int"))
       .groupBy(col("cell"), col("chunk"))
       .agg(collect_list(struct(col("vec_id"), col("e"), col("n"),
-        col("dist"))).as("members"))
+        col("dist"))).as("members")))
 
     val kernel = udf { (ma: Seq[Row], mb: Seq[Row], cdist: Double,
         sameChunk: Boolean) =>

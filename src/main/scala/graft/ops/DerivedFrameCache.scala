@@ -15,13 +15,13 @@ import org.apache.spark.sql.DataFrame
   * derivations go first, e.g. the bench warm-up SF's after the timed
   * SF's fill in).
   *
-  * Bound: ~6 tags are live per benched sfDir (shingles, prefix@t,
-  * simhash-fp, embed-norm, embed-assigned, bm25-tf); 12 holds two
-  * sfDirs' worth.
+  * Bound: ~7 tags are live per benched sfDir (shingles, prefix@t,
+  * simhash-fp, bm25-tf on the docs frame; embed-norm, embed-assigned,
+  * embed-chunks on the embeddings frame); 14 holds two sfDirs' worth.
   */
 object DerivedFrameCache {
 
-  private val Max = 12
+  private val Max = 14
   private val entries = new scala.collection.mutable.ArrayDeque[
     ((DataFrame, String), DataFrame)]()
 
