@@ -121,14 +121,23 @@ object Dedup {
       .select(col("doc_id"), col("im.i").as("i"), col("im.mh").as("mh"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b) from banded signatures. */
-  def lshCandidates(sig: DataFrame): DataFrame = {
-    val banded = sig
+  /** LSH candidate pairs (doc_a < doc_b) from banded signatures.
+    * `cacheOn`: a STABLE frame to key the banded materialization on
+    * (minhashNearDups passes the shared shingle frame) — the self-join's
+    * sides would otherwise EACH re-execute the signature pipeline (wide
+    * agg + explode + band groupBy): the ngram-prefix lesson, same shape
+    * (r5). Without a key the banded frame is built uncached (tests).
+    */
+  def lshCandidates(sig: DataFrame, cacheOn: Option[DataFrame] = None): DataFrame = {
+    def build = sig
       .withColumn("band", (col("i") / BandRows).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("i"), col("mh")))),
         x => x.getField("mh").cast("string")), ",").as("key"))
+    val banded = cacheOn
+      .map(k => cachedFrame(k, "lsh-banded")(build))
+      .getOrElse(build)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.key") === col("y.key") &&
@@ -173,8 +182,14 @@ object Dedup {
     */
   def verifyJaccardFused(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"))
+    // per-doc sorted shingle sets: joined on BOTH candidate sides (a
+    // self-join re-executes each side) and shared verbatim by the
+    // minhash and exact-ngram verifies — one materialization per
+    // shingle frame (r5), keyed on the shingle frame itself so callers
+    // with uncached shingles still converge
+    val sets = cachedFrame(sh, "jaccard-sets")(
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("set")))
     cands
       .join(sets.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sets.as("zb"), col("doc_b") === col("zb.doc_id"))
@@ -191,7 +206,7 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline over docs. */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shinglesCached(docs)
-    val cands = lshCandidates(minhash(spark, sh))
+    val cands = lshCandidates(minhash(spark, sh), cacheOn = Some(sh))
     verifyJaccardFused(cands, sh, threshold)
   }
 

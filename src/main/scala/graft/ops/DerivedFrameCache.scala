@@ -15,13 +15,14 @@ import org.apache.spark.sql.DataFrame
   * derivations go first, e.g. the bench warm-up SF's after the timed
   * SF's fill in).
   *
-  * Bound: ~7 tags are live per benched sfDir (shingles, prefix@t,
-  * simhash-fp, bm25-tf on the docs frame; embed-norm, embed-assigned,
-  * embed-chunks on the embeddings frame); 14 holds two sfDirs' worth.
+  * Bound: ~9 tags are live per benched sfDir (shingles, prefix@t,
+  * simhash-fp, bm25-tf on the docs frame; jaccard-sets, lsh-banded on
+  * its shingle frame; embed-norm, embed-assigned, embed-chunks on the
+  * embeddings frame); 18 holds two sfDirs' worth.
   */
 object DerivedFrameCache {
 
-  private val Max = 14
+  private val Max = 18
   private val entries = new scala.collection.mutable.ArrayDeque[
     ((DataFrame, String), DataFrame)]()
 
