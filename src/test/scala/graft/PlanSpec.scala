@@ -66,6 +66,39 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("minhash band self-join reads the MATERIALIZED keys on both sides") {
+    // r5 regression guard (the ngram-prefix lesson in another spot):
+    // lshCandidates' self-join must serve BOTH sides from the cached
+    // banded frame — no live wide-agg signature pipeline per side.
+    val docs = graft.sources.Corpus.docs(spark, sf0001)
+    val q = graft.ops.Dedup.minhashNearDups(spark, docs, 0.5)
+    assert(q.count() > 0)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: QueryStageExec => qs +: walk(qs.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(q.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    // banded keys ×2 join sides + jaccard sets ×2 + shingles behind them
+    assert(scans >= 3, s"expected >=3 cached scans, got $scans\n" +
+      q.queryExecution.executedPlan.toString.take(1200))
+    // the 12-column wide minhash aggregate must not run LIVE (it lives
+    // inside the cached banded build, not in this plan) — checked on
+    // each node's OWN expressions (a subtree toString would also match
+    // ancestors of the cached scan)
+    val liveWideAggs = nodes.count {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.aggregateExpressions.mkString(",").contains("mh0")
+      case _ => false
+    }
+    assert(liveWideAggs == 0,
+      s"signature pipeline must live behind the cache, found $liveWideAggs live")
+  }
+
   test("ngram self-join reads the MATERIALIZED prefix on both sides") {
     // r4 regression guard: the PPJoin self-join's sides used to each
     // re-execute the prefix chain (dfreq join + per-doc window sort —
