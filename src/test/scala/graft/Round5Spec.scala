@@ -127,6 +127,34 @@ class Round5Spec extends SparkSpec {
       ManifestIO.read(s"$dirB/manifest.json").num_docs)
   }
 
+  test("DerivedFrameCache: identity hits, tag separation, bounded eviction unpersists") {
+    import spark.implicits._
+    import graft.ops.DerivedFrameCache
+    val base = (1 to 10).toDF("x").repartition(2)
+    var builds = 0
+    def make() = { builds += 1; base.select(col("x") * 2 as "y") }
+    val a = DerivedFrameCache(base, "t5-a")(make())
+    val a2 = DerivedFrameCache(base, "t5-a")(make())
+    assert(a eq a2) // identity hit, no rebuild
+    assert(builds == 1)
+    val b = DerivedFrameCache(base, "t5-b")(make())
+    assert(!(b eq a)) // tags separate
+    assert(builds == 2)
+    a.count()
+    assert(a.storageLevel.useMemory) // persisted
+    // flood past the bound with fresh keys: the oldest entries evict
+    // AND unpersist
+    (1 to 24).foreach { i =>
+      val k = Seq(i).toDF("x")
+      DerivedFrameCache(k, "t5-flood")(k.select(col("x") + 1 as "y"))
+    }
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted entry must be unpersisted")
+    // a miss after eviction rebuilds (no stale handle returned)
+    val a3 = DerivedFrameCache(base, "t5-a")(make())
+    assert(builds == 3 && !(a3 eq a))
+  }
+
   test("EmbedCellAssignExpr bit-identical to the udf it replaced") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
