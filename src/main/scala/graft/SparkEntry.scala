@@ -117,6 +117,12 @@ object SparkEntry {
       val n = graft.build.ManifestIO.read(s"$idx/manifest.json").num_docs
       val work = java.nio.file.Files
         .createTempDirectory("graft-qdc").toString
+      // the compacted snapshot must outlive this call (the returned
+      // frame reads it lazily) but not the JVM — a bench run otherwise
+      // leaves ~9 full index copies in /tmp (r5)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(work)): Unit))
       // delete head/middle/tail ranges, then compact. The explicit dead
       // set keeps the shared cached index read-only (the r2 harness
       // copied the WHOLE index dir per run, inflating the measured wall
