@@ -44,6 +44,29 @@ object SparkEntry {
   private def termFreqs(d: DataFrame): DataFrame =
     Bm25SqlPath.termFreqs(d)
 
+  /** Per-JVM registry of q_delete_compact's temp snapshots: ONE static
+    * shutdown hook drains whatever is left, and each new snapshot
+    * eagerly deletes its predecessor (the previous call's returned
+    * frame has been materialized by then — callers consume each result
+    * before asking for the next). r5 registered one hook AND kept one
+    * full index copy on disk per invocation — unbounded growth in a
+    * long-lived session [ADVICE r5].
+    */
+  private object QdcSnapshots {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(d => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(d)): Unit)))
+    def register(dir: String): Unit = {
+      var prev = dirs.pollFirst()
+      while (prev != null) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+        prev = dirs.pollFirst()
+      }
+      dirs.addFirst(dir)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 derived source table + per-row sha256 invariant (input_hint).
@@ -118,11 +141,8 @@ object SparkEntry {
       val work = java.nio.file.Files
         .createTempDirectory("graft-qdc").toString
       // the compacted snapshot must outlive this call (the returned
-      // frame reads it lazily) but not the JVM — a bench run otherwise
-      // leaves ~9 full index copies in /tmp (r5)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(work)): Unit))
+      // frame reads it lazily) but not the next call or the JVM
+      QdcSnapshots.register(work)
       // delete head/middle/tail ranges, then compact. The explicit dead
       // set keeps the shared cached index read-only (the r2 harness
       // copied the WHOLE index dir per run, inflating the measured wall

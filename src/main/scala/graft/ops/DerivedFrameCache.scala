@@ -18,11 +18,15 @@ import org.apache.spark.sql.DataFrame
   * Bound: ~9 tags are live per benched sfDir (shingles, prefix@t,
   * simhash-fp, bm25-tf on the docs frame; jaccard-sets, lsh-banded on
   * its shingle frame; embed-norm, embed-assigned, embed-chunks on the
-  * embeddings frame); 18 holds two sfDirs' worth.
+  * embeddings frame); 18 holds two sfDirs' worth, 24 leaves headroom
+  * so an extra tag (a second dedup threshold, a test frame) doesn't
+  * silently evict a still-live warm entry mid-bench [ADVICE r5].
+  * Evictions log to stderr so a silent re-derivation is visible in
+  * bench output.
   */
 object DerivedFrameCache {
 
-  private val Max = 18
+  private val Max = 24
   private val entries = new scala.collection.mutable.ArrayDeque[
     ((DataFrame, String), DataFrame)]()
 
@@ -34,8 +38,13 @@ object DerivedFrameCache {
       val f = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       entries.append(((source, tag), f))
-      while (entries.size > Max)
-        entries.removeHead()._2.unpersist(blocking = false)
+      while (entries.size > Max) {
+        val ((_, evictedTag), evicted) = entries.removeHead()
+        System.err.println(
+          s"[frame-cache] evicting '$evictedTag' (bound $Max reached) — " +
+            "a re-derivation of it will pay full cost")
+        evicted.unpersist(blocking = false)
+      }
       f
     }
   }

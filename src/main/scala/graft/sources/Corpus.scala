@@ -41,7 +41,11 @@ object Corpus {
     */
   def documentsAmplified(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = documents(spark, sfDir)
-    val replicas = spark.range(factor).toDF("replica")
+    // splits pinned to 1: a broadcast range of `factor` rows gains
+    // nothing from core-count splits, and the default (defaultParallelism)
+    // makes the build plan differ between local[N] levels — the scaling
+    // A/B's plan-identity evidence wants byte-identical plans
+    val replicas = spark.range(0, factor, 1, 1).toDF("replica")
     base.crossJoin(broadcast(replicas))
       .withColumn("doc_id",
         col("doc_id") * factor + col("replica"))

@@ -144,7 +144,7 @@ class Round5Spec extends SparkSpec {
     assert(a.storageLevel.useMemory) // persisted
     // flood past the bound with fresh keys: the oldest entries evict
     // AND unpersist
-    (1 to 24).foreach { i =>
+    (1 to 32).foreach { i => // > bound (24 [ADVICE r5]) with margin
       val k = Seq(i).toDF("x")
       DerivedFrameCache(k, "t5-flood")(k.select(col("x") + 1 as "y"))
     }
