@@ -77,6 +77,36 @@ class PostingCodecSpec extends AnyFunSuite {
     assert(ds.toSeq == docs)
   }
 
+  test("adversarial: near-max-Long delta, single-posting blocks, " +
+      "2^31-boundary ids, extreme tf/dl/positions") {
+    def roundtrip(entries: Seq[PostingEntry]): Unit = {
+      val blocks = PostingCodec.encodeTerm("t", 0, 0, entries, (_, _) => 1.0)
+      val decoded = blocks.flatMap(PostingCodec.decodeEntries)
+      assert(decoded.map(e => (e.doc, e.tf, e.dl, e.positions.toList)) ==
+        entries.map(e => (e.doc, e.tf, e.dl, e.positions.toList)))
+      // block shape invariants hold at every boundary
+      val expectBlocks =
+        (entries.size + PostingCodec.BlockSize - 1) / PostingCodec.BlockSize
+      assert(blocks.size == expectBlocks)
+      assert(blocks.last.count ==
+        entries.size - (expectBlocks - 1) * PostingCodec.BlockSize)
+    }
+    // (a) a delta of nearly Long.MaxValue survives the varint gap coding
+    roundtrip(Seq(0L, Long.MaxValue - 1)
+      .map(d => PostingEntry(d, 1, 10, Array.empty)))
+    // (b) single-posting term, exact BlockSize, and BlockSize+1 (forces
+    // a trailing single-posting block)
+    Seq(1, PostingCodec.BlockSize, PostingCodec.BlockSize + 1).foreach { n =>
+      roundtrip((0L until n.toLong)
+        .map(d => PostingEntry(d * 7 + 3, 2, 20, Array(1, 4))))
+    }
+    // (c) docIDs straddling the 2^31 int boundary with extreme tf/dl and
+    // a near-max positions jump — no silent int truncation anywhere
+    roundtrip(Seq((1L << 31) - 1, 1L << 31, (1L << 31) + 1).map(d =>
+      PostingEntry(d, Int.MaxValue, Int.MaxValue,
+        Array(0, Int.MaxValue - 1))))
+  }
+
   test("compression: dense docIDs cost ~1 byte of gap each") {
     val entries = (0L until 1000L).map(d => PostingEntry(d, 1, 10, Array.empty))
     val blocks = PostingCodec.encodeTerm("t", 0, 0, entries, (_, _) => 1.0)
