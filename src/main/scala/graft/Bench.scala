@@ -426,6 +426,17 @@ object Bench {
       val evL = evids(nLow)(times(nLow).indexOf(secsL))
       val evH = evids(nHigh)(times(nHigh).indexOf(secsH))
       val planIdentical = evL.planFp == evH.planFp
+      // per-step core-second inflation (4N core-secs / N core-secs for
+      // IDENTICAL work): >1 quantifies the shared-memory contention the
+      // ceiling argument localizes; ~1.0 means the step's CPU scales
+      def infl(name: String): Option[Double] =
+        for {
+          a <- evL.steps.find(_.name == name) if a.coreSecs > 0
+          b <- evH.steps.find(_.name == name)
+        } yield b.coreSecs / a.coreSecs
+      val inflJson = evL.steps
+        .flatMap(s => infl(s.name).map(v => s""""${s.name}":${num(v, 2)}"""))
+        .mkString("{", ",", "}")
       def repsJson(n: Int) =
         times(n).map(num(_, 2)).mkString("[", ",", "]")
       scalingJson =
@@ -436,11 +447,14 @@ object Bench {
           s""""files_per_sec_4n":${num(fpsH, 1)},""" +
           s""""pairs_split":[$preReps,${reps - preReps}],""" +
           s""""plan_identical":$planIdentical,""" +
+          s""""core_infl_docstore":${
+            infl("docstore").map(num(_, 2)).getOrElse("null")},""" +
           s""""efficiency":${num(eff, 4)}}"""
       scalingDiag =
         s""","scaling_reps":{"n":${repsJson(nLow)},"4n":${repsJson(nHigh)}},""" +
           s""""scaling_evidence":{"local_n":${evL.json},""" +
-          s""""local_4n":${evH.json},"plan_identical":$planIdentical}"""
+          s""""local_4n":${evH.json},"core_inflation":$inflJson,""" +
+          s""""plan_identical":$planIdentical}"""
     }
 
     val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }

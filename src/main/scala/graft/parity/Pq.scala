@@ -66,6 +66,18 @@ object Pq {
     * centroid index; empty clusters keep their centroid. Assignment uses
     * `dist` (Dr); the update stays the arithmetic mean (see
     * [[graft.cluster.Distance]] — partitioning signal only).
+    *
+    * Deliberately SEPARATE from the engine's
+    * [[graft.cluster.CoarseClusterer.fitLocal]] family [VERDICT r5 #7
+    * considered and declined]: this one pins the parity contract
+    * (stride seeding like the reference's clustering entry point,
+    * sequential Double accumulation), while fitLocal pins the engine's
+    * (hash-of-id seeding so the seed set survives re-ordering, exact
+    * Long partial sums so a PARALLEL schedule stays bit-identical).
+    * One generic impl would have to carry both seeding rules, both
+    * accumulator types, and both schedules as parameters — more
+    * surface than the two small loops, and a single switch flipped
+    * wrong silently breaks either parity goldens or build determinism.
     */
   def kmeans(data: Array[Array[Double]], k: Int, maxIter: Int,
       dist: Distance = Distance.SqEuclidean): Array[Array[Double]] = {
