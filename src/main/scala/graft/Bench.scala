@@ -139,7 +139,11 @@ object Bench {
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
-    .replaceAll("@[0-9a-f]{6,}", "@x")
+    // identity hashes print as 1-8 hex chars with no leading zeros —
+    // match them all (over-matching is harmless here: normalization is
+    // applied identically at both levels; UNDER-matching would leak a
+    // run-varying token into the fingerprint)
+    .replaceAll("@[0-9a-f]+", "@x")
     .replaceAll(
       "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
       "uuid")
@@ -250,8 +254,8 @@ object Bench {
     // [VERDICT r2 #1a]. 5 since r5; from r6 the pairs additionally
     // split 2-before / 3-after the query section (see scaladoc).
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    val preReps = math.min(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_PRE", "2").toInt, reps)
+    val preReps = math.max(0, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PRE", "2").toInt, reps))
     var amplify = 1
     var files = 0L
     val times = scala.collection.mutable.Map[Int, Vector[Double]]()
@@ -287,7 +291,9 @@ object Bench {
         } finally org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(dir))
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/VM error must propagate — a degraded
+        // JVM would record garbage walls for every later section
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] scaling build local[$n] failed: " +
             e.getMessage)
       } finally s.stop()
@@ -455,6 +461,14 @@ object Bench {
           s""""scaling_evidence":{"local_n":${evL.json},""" +
           s""""local_4n":${evH.json},"core_inflation":$inflJson,""" +
           s""""plan_identical":$planIdentical}"""
+    } else if (doScaling) {
+      // every rep failed at one or both levels: record the failure
+      // loudly instead of a clean-looking artifact with the north_rule
+      // evidence silently absent
+      scalingJson = s""","scaling":{"error":"no successful scaling reps"}"""
+      System.err.println("[bench] SCALING FAILED: no successful build " +
+        s"reps (local[$nLow]: ${times(nLow).size}, " +
+        s"local[$nHigh]: ${times(nHigh).size})")
     }
 
     val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }

@@ -44,26 +44,29 @@ object SparkEntry {
   private def termFreqs(d: DataFrame): DataFrame =
     Bm25SqlPath.termFreqs(d)
 
-  /** Per-JVM registry of q_delete_compact's temp snapshots: ONE static
-    * shutdown hook drains whatever is left, and each new snapshot
-    * eagerly deletes its predecessor (the previous call's returned
-    * frame has been materialized by then — callers consume each result
-    * before asking for the next). r5 registered one hook AND kept one
-    * full index copy on disk per invocation — unbounded growth in a
-    * long-lived session [ADVICE r5].
+  /** Per-JVM holder of q_delete_compact's ONE live temp snapshot: a
+    * single static shutdown hook deletes whatever is live at exit, and
+    * `swap` (called only AFTER a new compact succeeded) deletes the
+    * predecessor. Trade-off, by design: a frame returned by an EARLIER
+    * q_delete_compact call is lazily backed by its snapshot and becomes
+    * unreadable once a LATER call swaps it out — callers (bench,
+    * verify) consume each result before asking for the next, and the
+    * alternative (r5: one shutdown hook + one full index copy on disk
+    * PER invocation) grew without bound in a long-lived session
+    * [ADVICE r5]. A failed compact never reaches `swap`, so the last
+    * good snapshot survives a failure.
     */
   private object QdcSnapshots {
-    private val dirs = new java.util.concurrent.ConcurrentLinkedDeque[String]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.forEach(d => org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(d)): Unit)))
-    def register(dir: String): Unit = {
-      var prev = dirs.pollFirst()
-      while (prev != null) {
+    private val live = new java.util.concurrent.atomic.AtomicReference[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val d = live.get()
+      if (d != null)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit
+    }))
+    def swap(dir: String): Unit = {
+      val prev = live.getAndSet(dir)
+      if (prev != null)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
-        prev = dirs.pollFirst()
-      }
-      dirs.addFirst(dir)
     }
   }
 
@@ -140,17 +143,24 @@ object SparkEntry {
       val n = graft.build.ManifestIO.read(s"$idx/manifest.json").num_docs
       val work = java.nio.file.Files
         .createTempDirectory("graft-qdc").toString
-      // the compacted snapshot must outlive this call (the returned
-      // frame reads it lazily) but not the next call or the JVM
-      QdcSnapshots.register(work)
       // delete head/middle/tail ranges, then compact. The explicit dead
       // set keeps the shared cached index read-only (the r2 harness
       // copied the WHOLE index dir per run, inflating the measured wall
       // well above the operator's cost [VERDICT r2]); the tombstones.json
       // file flow is covered by MaintenanceSpec.
       val dead = (0L until 10L) ++ (100L until 120L) ++ ((n - 5) until n)
-      graft.maintain.Maintenance.compact(s, idx, work,
+      try graft.maintain.Maintenance.compact(s, idx, work,
         deadOverride = Some(dead.toSet))
+      catch { case e: Throwable =>
+        // a failed partial snapshot is garbage; the previous good one
+        // (if any) stays live
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        throw e
+      }
+      // the compacted snapshot must outlive this call (the returned
+      // frame reads it lazily) but not the next successful call or the
+      // JVM
+      QdcSnapshots.swap(work)
       s.read.parquet(s"$work/docstore")
         .select("doc_id", "content_sha")
         .orderBy("doc_id")

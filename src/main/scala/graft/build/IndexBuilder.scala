@@ -222,15 +222,21 @@ object IndexBuilder {
     var run = Vector.empty[String]
     var skip = Vector.empty[String]
     var stepWin = Vector.empty[(String, Long, Long)]
+    // epoch-ms windows derived from ONE epoch anchor + monotonic nano
+    // offsets: windows stay ordered and walls non-negative even if the
+    // wall clock steps (NTP) mid-build — close enough to Spark's
+    // job-submit currentTimeMillis for per-step attribution
+    val epochAnchor = System.currentTimeMillis()
+    def monoMs(): Long = epochAnchor + (System.nanoTime() - t0) / 1000000L
 
     def step[T](name: String)(body: => T): Unit =
       if (cfg.resume && isDone(indexDir, name)) { skip :+= name }
       else {
         val t = System.nanoTime()
-        val ms0 = System.currentTimeMillis()
+        val ms0 = monoMs()
         body
         markDone(indexDir, name, s"input=$sfDir")
-        stepWin :+= ((name, ms0, System.currentTimeMillis()))
+        stepWin :+= ((name, ms0, monoMs()))
         System.err.println(
           f"[build] step $name%-10s ${(System.nanoTime() - t) / 1e9}%.2fs")
         run :+= name
@@ -585,10 +591,10 @@ object IndexBuilder {
     // only on the centroids, fixed since the docstore step — start it
     // here so the dictionary job's wall absorbs it instead of paying it
     // serially inside the manifest step [VERDICT r5 #6].
-    val graphF: scala.concurrent.Future[
-        (Array[Array[Int]], Array[Array[Array[Int]]])] =
-      if (cfg.resume && isDone(indexDir, "manifest")) null
-      else {
+    val graphF: Option[scala.concurrent.Future[
+        (Array[Array[Int]], Array[Array[Array[Int]]])]] =
+      if (cfg.resume && isDone(indexDir, "manifest")) None
+      else Some {
         import scala.concurrent.ExecutionContext.Implicits.global
         scala.concurrent.Future {
           graft.cluster.GraphCoarseSearch.buildGraph(
@@ -612,7 +618,7 @@ object IndexBuilder {
           .filter(_.nonEmpty),
         granuleWindow = cstats.granule_window,
         distanceName = graft.cluster.Distance.name(cfg.distance),
-        coarseGraphOpt = Option(graphF).map(f =>
+        coarseGraphOpt = graphF.map(f =>
           scala.concurrent.Await.result(
             f, scala.concurrent.duration.Duration.Inf)))
     }
