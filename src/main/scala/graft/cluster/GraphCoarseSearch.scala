@@ -106,8 +106,11 @@ final class GraphCoarseSearch(
     while (continue && cand.nonEmpty) {
       val (d, node) = cand.dequeue()
       // stop when the best unexpanded candidate is worse than the
-      // efCap-th best result (classic NSW termination)
-      if (results.size >= efCap && d > results.take(efCap).last._1) {
+      // efCap-th best result (classic NSW termination); `results` is
+      // BOUNDED to efCap below, so `last` IS the efCap-th best — the
+      // unbounded set + per-expansion `take(efCap)` allocation it
+      // replaces was O(visited × ef log ef) for identical output
+      if (results.size >= efCap && d > results.last._1) {
         continue = false
       } else {
         edges(node).foreach { nb =>
@@ -115,6 +118,7 @@ final class GraphCoarseSearch(
             val dn = dist(query, centroids(nb))
             cand.enqueue((dn, nb))
             results.add((dn, nb))
+            if (results.size > efCap) results.remove(results.last)
           }
         }
       }
@@ -237,12 +241,14 @@ object GraphCoarseSearch {
         if (visited.add(e)) {
           val d = dist(e, q)
           cand.enqueue((d, e)); results.add((d, e))
+          if (results.size > efL) results.remove(results.last)
         }
       }
       var continue = true
       while (continue && cand.nonEmpty) {
         val (d, node) = cand.dequeue()
-        if (results.size >= efL && d > results.take(efL).last._1)
+        // results is bounded to efL (below), so `last` is the efL-th best
+        if (results.size >= efL && d > results.last._1)
           continue = false
         else adj(node).foreach { nb =>
           if (visited.add(nb)) {
@@ -264,8 +270,10 @@ object GraphCoarseSearch {
     // links across directions instead of piling them into one cluster,
     // which is what keeps greedy routing working on clustered data —
     // then backfill with the nearest pruned ones up to the cap.
-    def selectDiverse(qNode: Int, cands: Seq[(Double, Int)],
-        cap: Int): Seq[Int] = {
+    // (candidate-relative only: the kept set depends on the candidates'
+    // distances to the query point and to each other, never on the
+    // query NODE's id — so no node parameter)
+    def selectDiverse(cands: Seq[(Double, Int)], cap: Int): Seq[Int] = {
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       val pruned = scala.collection.mutable.ArrayBuffer.empty[Int]
       cands.foreach { case (dq, e) =>
@@ -281,7 +289,7 @@ object GraphCoarseSearch {
       val lst = layers(lev)(node)
       if (lst.length > cap) {
         val sorted = lst.map(j => (d2(j, node), j)).sorted.toSeq
-        val kept = selectDiverse(node, sorted, cap)
+        val kept = selectDiverse(sorted, cap)
         lst.clear()
         lst ++= kept
       }
@@ -305,7 +313,7 @@ object GraphCoarseSearch {
       while (lev >= 0) {
         val found = searchLayer(q, eps, lev, ef)
         val cap = if (lev == 0) mmax0 else m
-        val neighbors = selectDiverse(i, found, m)
+        val neighbors = selectDiverse(found, m)
         neighbors.foreach { nb =>
           layers(lev)(i) += nb
           layers(lev)(nb) += i

@@ -58,6 +58,37 @@ object IndexSearcher {
     */
   val GraphProbeKcThreshold = 64
 
+  /** Memo for graphs REBUILT at query time (manifest has no usable
+    * persisted adjacency: pre-r2, or a metric-mismatched stamp): the
+    * deterministic driver-side rebuild is paid once per (indexDir,
+    * metric) per JVM instead of once per query batch. Maintenance
+    * rewrites land in NEW dirs, but an in-place full rebuild (bench
+    * passes) can change a dir's centroids — the cached entry is
+    * verified against the manifest's centroids and replaced on
+    * mismatch, so a stale graph is unrepresentable. Bounded: cleared
+    * wholesale past 16 dirs (rebuilds are cheap relative to unbounded
+    * growth).
+    */
+  private val rebuiltGraphs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String),
+    (Array[Array[Double]], graft.cluster.GraphCoarseSearch)]()
+
+  private def rebuiltGraph(indexDir: String, metricName: String,
+      centroids: Array[Array[Double]], metric: graft.cluster.Distance):
+      graft.cluster.GraphCoarseSearch = {
+    val key = (indexDir, metricName)
+    val cached = rebuiltGraphs.get(key)
+    if (cached != null && java.util.Arrays.deepEquals(
+        cached._1.asInstanceOf[Array[AnyRef]],
+        centroids.asInstanceOf[Array[AnyRef]])) cached._2
+    else {
+      val g = graft.cluster.GraphCoarseSearch(centroids, metric = metric)
+      if (rebuiltGraphs.size >= 16) rebuiltGraphs.clear()
+      rebuiltGraphs.put(key, (centroids, g))
+      g
+    }
+  }
+
   def topK(
       spark: SparkSession,
       indexDir: String,
@@ -99,7 +130,7 @@ object IndexSearcher {
       if (manifest.coarse_graph.nonEmpty && graphMetricOk)
         new graft.cluster.GraphCoarseSearch(centroids, manifest.coarse_graph,
           manifest.coarse_graph_upper, metric)
-      else graft.cluster.GraphCoarseSearch(centroids, metric = metric)
+      else rebuiltGraph(indexDir, manifest.distance, centroids, metric)
     // pre-r2 manifests have no granule window: single split
     val window = if (manifest.granule_window > 0) manifest.granule_window
       else Long.MaxValue

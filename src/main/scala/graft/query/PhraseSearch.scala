@@ -100,9 +100,14 @@ object PhraseSearch {
                   if (posSets.contains(null)) Iterator.empty
                   else {
                     val first = posSets(0)
-                    val rest = posSets.tail.map(_.toSet)
+                    // positions decode gap-ascending (sorted), so the
+                    // adjacency membership test is a binary search —
+                    // no boxed Set per (doc, term)
+                    val rest = posSets.tail
                     val occ = first.count(p =>
-                      rest.zipWithIndex.forall { case (s, i) => s.contains(p + i + 1) })
+                      rest.zipWithIndex.forall { case (arr, i) =>
+                        java.util.Arrays.binarySearch(arr, p + i + 1) >= 0
+                      })
                     if (occ > 0) Iterator.single((d, occ.toLong))
                     else Iterator.empty
                   }
@@ -122,7 +127,11 @@ object PhraseSearch {
       s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i"
     }.mkString("\n       |  ")
     val preds = phrase.zipWithIndex
-      .map { case (t, i) => s"t$i.term = '$t'" }.mkString(" AND ")
+      // doubled-quote escape: tokenizer vocabulary is [a-z0-9_] today,
+      // but this signature accepts any Seq[String] — a quote in a term
+      // must not break (or steer) the oracle SQL
+      .map { case (t, i) => s"t$i.term = '${t.replace("'", "''")}'" }
+      .mkString(" AND ")
     s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
        |tok AS (
        |  SELECT doc_id, unnest($toks) AS term,

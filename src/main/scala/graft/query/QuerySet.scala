@@ -46,6 +46,9 @@ object QuerySet {
   /** DuckDB VALUES CTE `q(query_id, term, qtf)` for a query subset. */
   def sqlValuesCte(qs: Seq[(Int, Seq[String])] = queries): String =
     triples(qs)
-      .map { case (qid, t, qtf) => s"($qid, '$t', $qtf)" }
+      // doubled-quote escape — terms are tokenizer output ([a-z0-9_])
+      // for every internal caller, but the CTE must stay valid SQL for
+      // any input
+      .map { case (qid, t, qtf) => s"($qid, '${t.replace("'", "''")}', $qtf)" }
       .mkString("q(query_id, term, qtf) AS (VALUES ", ", ", ")")
 }

@@ -275,7 +275,9 @@ object Wand {
         if (doc(li) == Long.MaxValue) { i = n }
         else {
           acc += lists(li).termUB
-          if (acc >= th || th == Double.NegativeInfinity) pivot = i
+          // (acc >= th already holds for every finite acc when th is
+          // -Infinity — no special case needed)
+          if (acc >= th) pivot = i
           else i += 1
         }
       }
