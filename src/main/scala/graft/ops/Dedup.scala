@@ -80,8 +80,9 @@ object Dedup {
       .select(col("doc_id"), Tokenizer.tokensCol(col("content")).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) >= ShingleN,
-          expr(("transform(sequence(0, size(toks) - " + ShingleN + "), " +
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          expr("transform(sequence(0, size(toks) - " + ShingleN + "), " +
+            "i -> concat_ws(' ', " +
+            (0 until ShingleN).map(j => s"toks[i+$j]").mkString(", ") + "))"))
           .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
 
@@ -286,6 +287,27 @@ object Dedup {
     verifyJaccardFused(cands, sh, threshold)
   }
 
+  /** Oracle-side shingle CTE body, generated from [[ShingleN]] exactly
+    * like the Spark side's transform body — changing the constant moves
+    * both twins together instead of silently diverging them.
+    */
+  private def sqlShingleSelect: String = {
+    require(ShingleN >= 2,
+      s"sqlShingleSelect emits a lead()-based window; ShingleN=$ShingleN < 2 would produce malformed SQL")
+    val leads = (1 until ShingleN).map(j =>
+      s"lead(term, $j) OVER (PARTITION BY doc_id ORDER BY pos) AS t$j")
+      .mkString(",\n           ")
+    val gram = ("term" +: (1 until ShingleN).map(j => s"t$j"))
+      .mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id,
+       |         $gram AS shingle
+       |  FROM (
+       |    SELECT doc_id, pos, term,
+       |           $leads
+       |    FROM tok)
+       |  WHERE t${ShingleN - 1} IS NOT NULL""".stripMargin
+  }
+
   /** DuckDB oracle for [[ngramJaccardNearDups]]. */
   def ngramJaccardOracleSql(threshold: Double): String =
     s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
@@ -294,14 +316,7 @@ object Dedup {
        |         generate_subscripts(${Tokenizer.sqlTokensExpr("content")}, 1) AS pos
        |  FROM docs),
        |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |         term || ' ' || t1 || ' ' || t2 AS shingle
-       |  FROM (
-       |    SELECT doc_id, pos, term,
-       |           lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
-       |           lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-       |    FROM tok)
-       |  WHERE t2 IS NOT NULL),
+       |  $sqlShingleSelect),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN sh b
@@ -333,19 +348,15 @@ object Dedup {
        |         generate_subscripts(${Tokenizer.sqlTokensExpr("content")}, 1) AS pos
        |  FROM docs),
        |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |         term || ' ' || t1 || ' ' || t2 AS shingle
-       |  FROM (
-       |    SELECT doc_id, pos, term,
-       |           lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
-       |           lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-       |    FROM tok)
-       |  WHERE t2 IS NOT NULL),
+       |  $sqlShingleSelect),
        |sig AS (
        |  SELECT doc_id, i, min((a * (${sqlHash60("shingle")} % $P) + b) % $P) AS mh
        |  FROM sh CROSS JOIN params GROUP BY 1, 2),
        |banded AS (
-       |  SELECT doc_id, CAST(i / $BandRows AS INTEGER) AS band,
+       |  -- i // band_rows: DuckDB's CAST(i / n AS INTEGER) ROUNDS the
+       |  -- float quotient (i=5 -> band 2) while Spark's cast truncates
+       |  -- (band 1); floor division matches the Spark banding exactly
+       |  SELECT doc_id, (i // $BandRows) AS band,
        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
        |  FROM sig GROUP BY 1, 2),
        |cands AS (
