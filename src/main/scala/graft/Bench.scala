@@ -151,13 +151,22 @@ object Bench {
     .replaceAll("(/dev/shm|/tmp)[^\\s,\\)\\]]*", "_tmp_")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
 
-  private case class StepEv(name: String, wall: Double, coreSecs: Double)
+  // cpuSecs = Σ task executorCpuTime (cycles actually burned), gcSecs =
+  // Σ task jvmGCTime: together they decompose coreSecs (executorRunTime)
+  // inflation — the r6 probe showed the 4-thread inflation is ~all
+  // executorCpuTime (gc ≈ 0, fetch wait 0, spill 0, shuffle-write ~0),
+  // i.e. a hardware CPU-throughput ceiling (SMT/turbo/memory bandwidth
+  // on the shared VM), not allocator pressure, I/O contention, or skew
+  private case class StepEv(name: String, wall: Double, coreSecs: Double,
+      cpuSecs: Double, gcSecs: Double)
   private case class BuildEv(planFp: String, nPlans: Int,
       steps: Seq[StepEv], totalCoreSecs: Double) {
     def json: String = {
       val ss = steps.map(s =>
         s""""${s.name}":{"wall":${num(s.wall)},""" +
-          s""""core_secs":${num(s.coreSecs)}}""").mkString("{", ",", "}")
+          s""""core_secs":${num(s.coreSecs)},""" +
+          s""""cpu_secs":${num(s.cpuSecs)},""" +
+          s""""gc_secs":${num(s.gcSecs)}}""").mkString("{", ",", "}")
       s"""{"plan_fp":"$planFp","plans":$nPlans,""" +
         s""""total_core_secs":${num(totalCoreSecs)},"steps":$ss}"""
     }
@@ -174,6 +183,8 @@ object Bench {
     private val jobStartMs = new ConcurrentHashMap[Integer, java.lang.Long]()
     private val stageToJob = new ConcurrentHashMap[Integer, Integer]()
     private val jobRunMs = new ConcurrentHashMap[Integer, java.lang.Long]()
+    private val jobCpuNs = new ConcurrentHashMap[Integer, java.lang.Long]()
+    private val jobGcMs = new ConcurrentHashMap[Integer, java.lang.Long]()
     private val planShas = ConcurrentHashMap.newKeySet[String]()
     s.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -185,9 +196,14 @@ object Bench {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val j = stageToJob.getOrDefault(te.stageId, -1)
-          if (te.taskMetrics != null)
+          if (te.taskMetrics != null) {
             jobRunMs.merge(j, te.taskMetrics.executorRunTime,
+              (a, b) => a + b)
+            jobCpuNs.merge(j, te.taskMetrics.executorCpuTime,
+              (a, b) => a + b)
+            jobGcMs.merge(j, te.taskMetrics.jvmGCTime,
               (a, b) => a + b): Unit
+          }
         }
       })
     s.listenerManager.register(
@@ -217,12 +233,16 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val jobs = jobStartMs.asScala.toSeq
         .map { case (j, t) => (j.intValue, t.longValue) }
-      def coreMs(lo: Long, hi: Long): Long = jobs.collect {
+      def sumIn(m: ConcurrentHashMap[Integer, java.lang.Long],
+          lo: Long, hi: Long): Long = jobs.collect {
         case (j, t) if t >= lo && t <= hi =>
-          jobRunMs.getOrDefault(j, 0L).longValue
+          m.getOrDefault(j, 0L).longValue
       }.sum
       val steps = stepWindows.map { case (n, lo, hi) =>
-        StepEv(n, (hi - lo) / 1000.0, coreMs(lo, hi) / 1000.0)
+        StepEv(n, (hi - lo) / 1000.0,
+          sumIn(jobRunMs, lo, hi) / 1000.0,
+          sumIn(jobCpuNs, lo, hi) / 1e9,
+          sumIn(jobGcMs, lo, hi) / 1000.0)
       }
       BuildEv(
         sha16(planShas.asScala.toSeq.sorted.mkString(",")),
@@ -435,14 +455,21 @@ object Bench {
       // per-step core-second inflation (4N core-secs / N core-secs for
       // IDENTICAL work): >1 quantifies the shared-memory contention the
       // ceiling argument localizes; ~1.0 means the step's CPU scales
-      def infl(name: String): Option[Double] =
+      def inflBy(name: String, f: StepEv => Double): Option[Double] =
         for {
-          a <- evL.steps.find(_.name == name) if a.coreSecs > 0
+          a <- evL.steps.find(_.name == name) if f(a) > 0
           b <- evH.steps.find(_.name == name)
-        } yield b.coreSecs / a.coreSecs
-      val inflJson = evL.steps
-        .flatMap(s => infl(s.name).map(v => s""""${s.name}":${num(v, 2)}"""))
+        } yield f(b) / f(a)
+      def infl(name: String): Option[Double] = inflBy(name, _.coreSecs)
+      def inflMap(f: StepEv => Double): String = evL.steps
+        .flatMap(s => inflBy(s.name, f).map(v =>
+          s""""${s.name}":${num(v, 2)}"""))
         .mkString("{", ",", "}")
+      val inflJson = inflMap(_.coreSecs)
+      // cpu_inflation ≈ core_inflation with gc_secs ≈ 0 at both levels
+      // pins the inflation to executorCpuTime: cycles per unit work —
+      // a hardware throughput ceiling, not GC/IO/skew (see StepEv)
+      val cpuInflJson = inflMap(_.cpuSecs)
       def repsJson(n: Int) =
         times(n).map(num(_, 2)).mkString("[", ",", "]")
       scalingJson =
@@ -460,6 +487,7 @@ object Bench {
         s""","scaling_reps":{"n":${repsJson(nLow)},"4n":${repsJson(nHigh)}},""" +
           s""""scaling_evidence":{"local_n":${evL.json},""" +
           s""""local_4n":${evH.json},"core_inflation":$inflJson,""" +
+          s""""cpu_inflation":$cpuInflJson,""" +
           s""""plan_identical":$planIdentical}"""
     } else if (doScaling) {
       // every rep failed at one or both levels: record the failure

@@ -27,14 +27,33 @@ object ScalingProbe {
       .write.mode("overwrite").parquet(tmp)
     prep.stop()
 
+    val mode0 = sys.env.getOrElse("SPARK_GRAFT_PROBE", "dict")
     levels.foreach { n =>
-      val s = SparkSession.builder().master(s"local[$n]")
+      // "build" mirrors graft.Bench's scaling session EXACTLY (same
+      // shuffle partitioning at every level = plan-identical jobs, zstd
+      // shuffle blocks, tmpfs local dir, v2 committer) — stage metrics
+      // from any other config answer a different question (the r6 probe
+      // with partitions=n showed a 5.4x keys-pass "inflation" that was
+      // purely the partitioning difference, not the bench's behavior)
+      val sp =
+        if (mode0 == "build")
+          sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "16").toInt
+        else n
+      val b = SparkSession.builder().master(s"local[$n]")
         .appName(s"probe-$n")
-        .config("spark.sql.shuffle.partitions", n.toString)
+        .config("spark.sql.shuffle.partitions", sp.toString)
         .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
         .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val s = (if (mode0 == "build")
+        b.config("spark.io.compression.codec", "zstd")
+          .config("spark.io.compression.zstd.level",
+            sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.local.dir", "/dev/shm/graft-probe-local")
+          .config("spark.hadoop.mapreduce.fileoutputcommitter" +
+            ".algorithm.version", "2")
+      else b).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       s.sparkContext.addSparkListener(
@@ -42,16 +61,21 @@ object ScalingProbe {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val si = sc.stageInfo
+            val m = si.taskMetrics
             stages.add(
               f"stage ${si.stageId}%3d tasks=${si.numTasks}%4d " +
                 f"wall=${(si.completionTime.get - si.submissionTime.get) / 1e3}%6.2fs " +
-                f"cpuSum=${si.taskMetrics.executorCpuTime / 1e9}%7.2fs " +
-                f"runSum=${si.taskMetrics.executorRunTime / 1e3}%7.2fs " +
-                f"gc=${si.taskMetrics.jvmGCTime / 1e3}%5.1fs " +
+                f"cpuSum=${m.executorCpuTime / 1e9}%7.2fs " +
+                f"runSum=${m.executorRunTime / 1e3}%7.2fs " +
+                f"gc=${m.jvmGCTime / 1e3}%5.1fs " +
+                f"shufW=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1fs " +
+                f"fetchW=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs " +
+                f"spill=${(m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6}%6.0fMB " +
+                f"out=${m.outputMetrics.bytesWritten / 1e6}%6.0fMB " +
                 si.name.takeWhile(_ != '\n').take(40))
           }
         })
-      val mode = sys.env.getOrElse("SPARK_GRAFT_PROBE", "dict")
+      val mode = mode0
       (1 to 3).foreach { rep =>
         val t0 = System.nanoTime()
         val cnt = mode match {
@@ -105,12 +129,17 @@ object ScalingProbe {
               .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
               .count()
           case "build" =>
-            val dir = java.nio.file.Files
-              .createTempDirectory(s"graft-probe-build-$n").toString
-            val res = graft.build.IndexBuilder.build(s, sfDir, dir,
-              graft.build.IndexBuilder.BuildConfig(
-                resume = false, amplify = amplify))
-            res.manifest.num_docs
+            // tmpfs output like the bench's scaling section
+            val dir = java.nio.file.Files.createTempDirectory(
+              java.nio.file.Paths.get("/dev/shm"), s"graft-probe-build-$n")
+              .toString
+            try {
+              val res = graft.build.IndexBuilder.build(s, sfDir, dir,
+                graft.build.IndexBuilder.BuildConfig(
+                  resume = false, amplify = amplify))
+              res.manifest.num_docs
+            } finally org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(dir)): Unit
           case _ =>
             s.read.parquet(tmp)
               .select(col("doc_id"),
