@@ -231,8 +231,19 @@ object SparkEntry {
     // Quality scoring (length/diversity/stopword composite).
     "q_quality" -> ((s, dir) => graft.ops.TextStats.quality(docs(s, dir))),
 
+    // Gopher-style repetition signals (top-token fraction, duplicate
+    // bigram/trigram fractions) — per-row, zero-exchange.
+    "q_quality_repetition" -> ((s, dir) =>
+      graft.ops.TextStats.repetition(docs(s, dir))),
+
     // Per-language corpus token stats.
     "q_token_stats" -> ((s, dir) => graft.ops.TextStats.tokenStats(docs(s, dir))),
+
+    // Deterministic stratified sample: exact top-20 per language in
+    // sha256(doc_id) order via the salted two-phase window (skew-safe
+    // at one-dominant-language web scale).
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(docs(s, dir), 20)),
 
     // Salted two-phase posting-list materialization (north_rule: skew
     // handling for stop-word-heavy terms — the non-combinable list agg
@@ -364,7 +375,11 @@ object SparkEntry {
 
     "q_quality" -> graft.ops.TextStats.qualityOracleSql,
 
+    "q_quality_repetition" -> graft.ops.TextStats.repetitionOracleSql,
+
     "q_token_stats" -> graft.ops.TextStats.tokenStatsOracleSql,
+
+    "q_sample_stratified" -> graft.ops.Sampling.oracleSql(20),
 
     "q_posting_lists" -> graft.ops.SkewedAgg.oracleSql,
 

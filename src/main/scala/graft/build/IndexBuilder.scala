@@ -96,7 +96,16 @@ object IndexBuilder {
       // which costs more CPU than the ~40 B/row of shuffle bytes saved.
       // The lever stays for sources whose keys restore cheaply.
       slimExchange: Boolean =
-        sys.env.getOrElse("GRAFT_SLIM_EXCHANGE", "0") == "1")
+        sys.env.getOrElse("GRAFT_SLIM_EXCHANGE", "0") == "1",
+      // extra parquet writer options for the docstore write (the
+      // build's one non-scaling-inflated stage; BASELINE.md "Hardware
+      // ceiling"). A/B surface for encode-path levers — e.g.
+      // "parquet.enable.dictionary#content" -> "false" (skip the
+      // dictionary hash-table build for the high-cardinality content
+      // column), "parquet.block.size" -> smaller row groups (less
+      // buffered memory per write task). Default empty = parquet
+      // defaults; bytes on disk change, query results never do.
+      docstoreWriteOptions: Map[String, String] = Map.empty)
 
   /** Split cluster ids 0..kc-1 into up to `nBatches` contiguous groups. */
   def clusterBatches(kc: Int, nBatches: Int): Seq[Seq[Int]] = {
@@ -425,6 +434,7 @@ object IndexBuilder {
           .sortWithinPartitions(col("cluster_id"), col("doc_id"))
       toWrite
         .write.mode("overwrite")
+        .options(cfg.docstoreWriteOptions)
         .partitionBy("cluster_id")
         .parquet(s"$indexDir/docstore")
       dense.unpersist()

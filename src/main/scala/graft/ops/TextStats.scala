@@ -115,6 +115,76 @@ object TextStats {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
+    * fraction of tokens occupied by the single most frequent token,
+    * plus duplicate bigram/trigram fractions — the quality filters
+    * that catch boilerplate and keyboard-mash documents exact dedup
+    * misses. Everything is per-row (one array sort + one fold + n-gram
+    * distinct counts inside codegen higher-order functions): a
+    * doc-level statistic needs ZERO exchange at any corpus size, which
+    * is what makes this the 100-TB-safe formulation — the obvious
+    * explode → groupBy(doc, term) alternative shuffles every token.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), tokensC.as("toks"))
+    val toks = col("toks")
+    val n = size(toks)
+    // max term frequency == longest equal run in the sorted array:
+    // O(n log n) per row, no per-distinct-term rescan
+    val topCnt = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // n-grams as space-joined strings; tokens never contain spaces
+    // (Tokenizer splits on non-[a-z0-9_]), so the join is injective
+    def grams(width: Int): Column =
+      transform(slice(toks, lit(1), greatest(n - (width - 1), lit(0))),
+        (x, i) => concat_ws(" ",
+          Seq(x) ++ (1 until width).map(o => element_at(toks, i + o + 1)): _*))
+    def dupRatio(g: Column): Column = {
+      val m = size(g)
+      round((m - size(array_distinct(g))).cast("double") / greatest(m, lit(1)), 4)
+    }
+    withToks.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(topCnt.cast("double") / greatest(n, lit(1)), 4)
+        .as("top_token_ratio"),
+      dupRatio(grams(2)).as("dup_bigram_ratio"),
+      dupRatio(grams(3)).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionOracleSql: String = {
+    val toks = Tokenizer.sqlTokensExpr("content")
+    s"""WITH ${graft.sources.Corpus.sqlDocsCtes},
+       |t AS (SELECT doc_id, $toks AS toks FROM docs),
+       |g AS (
+       |  SELECT doc_id, toks,
+       |         [toks[i] || ' ' || toks[i+1]
+       |            FOR i IN range(1, len(toks))] AS bg,
+       |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |            FOR i IN range(1, len(toks) - 1)] AS tg,
+       |         coalesce(list_max([len(list_filter(toks, x -> x = u))
+       |            FOR u IN list_distinct(toks)]), 0) AS top_cnt
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS INTEGER) AS n_tokens,
+       |       round(CAST(top_cnt AS DOUBLE) / greatest(len(toks), 1), 4)
+       |         AS top_token_ratio,
+       |       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+       |         / greatest(len(bg), 1), 4) AS dup_bigram_ratio,
+       |       round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+       |         / greatest(len(tg), 1), 4) AS dup_trigram_ratio
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus token stats per language: docs, token totals, vocab. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs
