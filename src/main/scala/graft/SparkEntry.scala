@@ -84,9 +84,15 @@ object SparkEntry {
     // tokenize pass serves this, q_dictionary, and the BM25 SQL path).
     "q_corpus_stats" -> ((s, dir) => {
       val d = docs(s, dir)
-      val vocab = termFreqs(d)
-        .agg(countDistinct(col("term")).as("vocab"))
-      d.agg(count(lit(1)).as("n"), round(avg(col("doc_len")), Bm25.Scale).as("avgdl"))
+      // r7: vocab = row count of the shared per-term dictionary frame
+      // (== countDistinct(term) over the tf frame, each term is one
+      // row), and (n, avgdl) ride the shared 1-row stats frame — the
+      // query aggregates ~vocab rows + 1 row instead of re-scanning the
+      // 260k-row tf frame and the docs frame per call.
+      val vocab = Bm25SqlPath.termStats(d)
+        .agg(count(lit(1)).as("vocab"))
+      Bm25SqlPath.corpusStats(d)
+        .select(col("n"), round(col("avgdl"), Bm25.Scale).as("avgdl"))
         .crossJoin(vocab)
     }),
 
@@ -95,9 +101,11 @@ object SparkEntry {
     // combined (term, doc) frame, cf = Σ tf — same arithmetic as the
     // former explode+double-group, one shared derivation.
     "q_dictionary" -> ((s, dir) => {
-      termFreqs(docs(s, dir))
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      // r7: the (term, df, cf) aggregation is the query-independent
+      // dictionary shared with the BM25 scoring path — served from one
+      // cached derivation instead of re-aggregated per call.
+      Bm25SqlPath.termStats(docs(s, dir))
+        .select(col("term"), col("df"), col("cf"))
         .orderBy(col("df").desc, col("term"))
     }),
 
@@ -141,8 +149,11 @@ object SparkEntry {
     "q_delete_compact" -> ((s, dir) => {
       val idx = graft.build.Indexes.ensureBuilt(s, dir)
       val n = graft.build.ManifestIO.read(s"$idx/manifest.json").num_docs
+      // r7: snapshot on the same scratch base as the index (tmpfs when
+      // roomy) — see Indexes.scratchBase
       val work = java.nio.file.Files
-        .createTempDirectory("graft-qdc").toString
+        .createTempDirectory(java.nio.file.Paths.get(
+          graft.build.Indexes.scratchBase), "graft-qdc").toString
       // delete head/middle/tail ranges, then compact. The explicit dead
       // set keeps the shared cached index read-only (the r2 harness
       // copied the WHOLE index dir per run, inflating the measured wall
@@ -177,13 +188,12 @@ object SparkEntry {
     // rows-only driver check (rank-identity vs the reference formula is
     // asserted in IvfAdcParitySpec).
     "q_ann_ivfadc" -> ((s, dir) => {
-      import s.implicits._
       val emb = embeddings(s, dir)
-      val (model, encoded) = graft.parity.IvfAdc.build(s, emb, kc = 8, m = 4, k = 16)
-      val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-        .map { case (id, v) => (id.toInt, v) }.toSeq
+      // r7: query vectors ride the SAME collect as the training sample
+      // (one driver hop instead of three — count cached, sample+queries
+      // fused); model and results bit-identical (parity spec pins it)
+      val (model, encoded, qs) = graft.parity.IvfAdc.buildWithQueries(
+        s, emb, kc = 8, m = 4, k = 16, queryIds = Seq(0L, 1L, 2L, 3L, 4L))
       graft.parity.IvfAdc.search(s, model, encoded, qs, 10, 2)
     }),
 
@@ -193,10 +203,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "content_sha")
       // offset derived from the data (max id + 1): correct at ANY sf by
-      // construction [VERDICT r2 #8]; one tiny agg on the cached docs
-      val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1
-      val both = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(off)))
-      graft.ops.Dedup.exactGroups(both)
+      // construction [VERDICT r2 #8]. r7: the offset rides a broadcast
+      // 1-row aggregate instead of a blocking driver collect — the
+      // whole query is ONE action (the broadcast build overlaps the
+      // main job) with identical arithmetic.
+      val off = broadcast(d.agg((max(col("doc_id")) + 1L).as("_off")))
+      val shifted = d.crossJoin(off)
+        .select((col("doc_id") + col("_off")).as("doc_id"),
+          col("content_sha"))
+      graft.ops.Dedup.exactGroups(d.unionAll(shifted))
     }),
 
     // MinHash + LSH near-dup pairs (shingle → signature → band bucket →
@@ -266,7 +281,11 @@ object SparkEntry {
     // Multimodal asset table: binary payload + typed metadata (oracle
     // pins payload identity via the source-string sha).
     "q_multimodal_assets" -> ((s, dir) =>
-      graft.ops.Multimodal.assets(s, dir)
+      // r7: assets derive from the SHARED cached docs frame — the old
+      // Multimodal.assets(s, dir) re-ran the full corpus derivation
+      // (dense-id keys job + per-row sha) from parquet on every call,
+      // twice (image + audio branches)
+      graft.ops.Multimodal.assetsFrom(docs(s, dir))
         .select(col("asset_id"), col("doc_id"), col("kind"), col("width"),
           col("sample_rate"),
           length(col("payload")).as("n_bytes"),
@@ -278,7 +297,7 @@ object SparkEntry {
     // rows-only driver check, shape/determinism asserted in tests.
     "q_multimodal_features" -> ((s, dir) =>
       graft.ops.Multimodal.extractFeatures(
-        s, graft.ops.Multimodal.assets(s, dir))
+        s, graft.ops.Multimodal.assetsFrom(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "n_frames", "checksum")
         .orderBy("asset_id")),
 

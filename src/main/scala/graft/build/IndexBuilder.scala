@@ -183,7 +183,18 @@ object IndexBuilder {
       // MUST be bit-exact (the docstore is the source of truth for every
       // later step); only build() supplies one (Corpus.SourceRederive)
       exchangeSlim: Option[(DataFrame => DataFrame, DataFrame => DataFrame)] =
-        None): BuildResult = {
+        None,
+      // compaction fast path (r7): the source ALREADY carries dense
+      // 0-based doc_id, cluster_id, doc_len and content_sha (the
+      // docstore is lossless and compaction never retrains, so every
+      // one of them is a stored, deterministic value — recomputing them
+      // was provably redundant work). The docstore step then skips the
+      // dense-id keys pass, the kmeans sample collect and the per-row
+      // content->cluster assignment entirely: ONE slot exchange + write.
+      // Requires fixedCentroids and an exact knownRows; granule weights
+      // are caller-supplied estimates (placement only — balance, never
+      // correctness).
+      preAssigned: Option[PreAssignedSource] = None): BuildResult = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val sfDir = lineageName
@@ -211,7 +222,8 @@ object IndexBuilder {
         s"batches=${cfg.postingsBatches} idOrder=${idOrder.mkString(",")} " +
         s"dist=${cfg.distance.getClass.getSimpleName}" +
         fixedCentroids.map(c => s" fixed=${java.util.Arrays.deepHashCode(
-          c.asInstanceOf[Array[AnyRef]])}").getOrElse("")
+          c.asInstanceOf[Array[AnyRef]])}").getOrElse("") +
+        (if (preAssigned.nonEmpty) " pre=1" else "")
     val fpPath = Paths.get(indexDir, "_checkpoints", "fingerprint.txt")
     val fpMatches = Files.exists(fpPath) &&
       new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8) ==
@@ -264,6 +276,13 @@ object IndexBuilder {
     // write's range-partitioner sampling; the granule-hash exchange
     // needs no sampling at all.
     step("docstore") {
+      preAssigned match {
+        case Some(pa) =>
+          docstorePreAssigned(spark, source, indexDir, cfg,
+            fixedCentroids.getOrElse(sys.error(
+              "preAssigned requires fixedCentroids")),
+            knownRows, pa)
+        case None =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -450,6 +469,7 @@ object IndexBuilder {
       saveDocCounts(indexDir, (0 until kc)
         .map(c => c -> m(s"c$c").asInstanceOf[Long])
         .filter(_._2 > 0).toMap)
+      }
     }
 
     def docstore = spark.read.parquet(s"$indexDir/docstore")
@@ -638,6 +658,71 @@ object IndexBuilder {
     BuildResult(manifest, totalMillis,
       manifest.num_docs * 1000.0 / math.max(1L, totalMillis), run, skip,
       stepWin)
+  }
+
+  /** Marker + placement hints for the compaction fast path — see the
+    * `preAssigned` parameter of [[buildFromSource]].
+    */
+  case class PreAssignedSource(granuleWeights: Seq[((Int, Long), Long)])
+
+  /** The preAssigned docstore step: the source rows already carry dense
+    * doc_id, cluster_id, doc_len, content_sha — so the step is exactly
+    * ONE job: granule-slot exchange → local sort → partitioned write,
+    * with the corpus stats observed on the write like the normal path.
+    * The write observation's row count is REQUIRED to equal knownRows:
+    * a wrong caller-side id shift cannot silently produce a plausible
+    * index.
+    */
+  private def docstorePreAssigned(
+      spark: SparkSession,
+      source: DataFrame,
+      indexDir: String,
+      cfg: BuildConfig,
+      centroids: Array[Array[Double]],
+      knownRows: Long,
+      pa: PreAssignedSource): Unit = {
+    require(knownRows > 0, "preAssigned requires exact knownRows > 0")
+    val kc = centroids.length
+    saveCentroids(indexDir, centroids)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val window = granuleWindow(knownRows, parts)
+    saveGranuleWeights(indexDir, pa.granuleWeights)
+    val slotCol = GranulePartitioner.slotKeyCol(
+      GranulePartitioner.slotMap(pa.granuleWeights, parts), window, parts) _
+    val obs = Observation()
+    val metrics =
+      count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
+        min(col("doc_id")).as("min_id") +:
+        (0 until kc).map(c =>
+          sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
+    // stored content_sha rides THROUGH the exchange (unlike the fresh
+    // build's recompute trade): compaction's exchange is not the
+    // scaling-metric stage, and the column is already materialized —
+    // shipping ~64 B/row costs less than n sha2 calls here
+    source
+      .observe(obs, metrics.head, metrics.tail: _*)
+      .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
+      .repartition(parts, col("_slot"))
+      .drop("_slot")
+      .sortWithinPartitions(col("cluster_id"), col("doc_id"))
+      .select("doc_id", "repo", "path", "commit", "lang",
+        "content", "cluster_id", "doc_len", "content_sha")
+      .write.mode("overwrite")
+      .options(cfg.docstoreWriteOptions)
+      .partitionBy("cluster_id")
+      .parquet(s"$indexDir/docstore")
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    require(n == knownRows,
+      s"preAssigned row count $n != expected $knownRows: " +
+        "the caller's id shift and the source disagree")
+    require(m("min_id").asInstanceOf[Long] >= 0,
+      "preAssigned ids must be dense non-negative")
+    saveStats(indexDir,
+      CorpusStats(n, m("sum_dl").asInstanceOf[Long], window))
+    saveDocCounts(indexDir, (0 until kc)
+      .map(c => c -> m(s"c$c").asInstanceOf[Long])
+      .filter(_._2 > 0).toMap)
   }
 
   // centroids + segment metrics stashed as JSON between steps (part of

@@ -240,32 +240,43 @@ object Maintenance {
   def compact(spark: SparkSession, indexDir: String, outDir: String,
       deadOverride: Option[Set[Long]] = None): IndexBuilder.BuildResult = {
     val dead = deadOverride.getOrElse(loadTombstones(indexDir))
-    import spark.implicits._
-    // broadcast left-anti join: the idiomatic tombstone filter (scales
-    // to large tombstone sets where an isin literal would not)
-    val deadDf = dead.toSeq.toDF("doc_id")
-    val survivors = spark.read.parquet(s"$indexDir/docstore")
-      .join(broadcast(deadDf), Seq("doc_id"), "left_anti")
-      .select(col("doc_id").as("old_doc_id"),
-        col("repo"), col("path"), col("commit"), col("lang"), col("content"))
     // survivor count from the manifest, EXACT for any dead set: docstore
     // ids are dense 0..n-1, so only dead ids inside that range remove
     // rows — a deadOverride carrying absent ids (which bypasses
     // delete()'s validation) must not shrink the hint [ADVICE r4]
     val manifest = ManifestIO.read(s"$indexDir/manifest.json")
     val n = manifest.num_docs
-    val deadInRange = dead.count(id => id >= 0 && id < n)
-    // the reference's delete path never retrains the coarse quantizer
-    // (/root/reference/src/utils.jl:90-105 only shifts ids): compaction
-    // reuses the manifest's centroids + metric as FIXED, so assignments
-    // are stable across compactions and the rebuild skips the kmeans fit
+    val deadArr = dead.filter(id => id >= 0 && id < n).toArray.sorted
+    // r7 fast path: the docstore already holds dense old ids 0..n-1 AND
+    // every derived column compaction would recompute (content_sha,
+    // doc_len, cluster_id — all deterministic, centroids are FIXED like
+    // the reference's never-retraining delete,
+    // /root/reference/src/utils.jl:90-105). The new dense id in old-id
+    // order is a pure shift (old_id − #dead below it), so one broadcast
+    // sorted tombstone array serves BOTH the tombstone filter (the old
+    // anti-join) and the id re-rank (the old keys-pass + rank collect):
+    // the whole docstore side of the rebuild collapses to one map-side
+    // expression + the slot exchange. Granule weights carry over from
+    // the source index (placement balance only — survivors keep ~their
+    // old granules; correctness never depends on the weights).
+    val deadBc = spark.sparkContext.broadcast(deadArr)
+    val survivors = spark.read.parquet(s"$indexDir/docstore")
+      .withColumn("_nid",
+        graft.functions.TombstoneShiftExpr.col(col("doc_id"), deadBc))
+      .filter(col("_nid") >= 0)
+      .select(col("_nid").as("doc_id"),
+        col("repo"), col("path"), col("commit"), col("lang"),
+        col("content"), col("cluster_id"), col("doc_len"),
+        col("content_sha"))
     IndexBuilder.buildFromSource(spark, survivors, outDir,
       IndexBuilder.BuildConfig(resume = false,
         distance = graft.cluster.Distance.byName(manifest.distance)),
-      idOrder = Seq("old_doc_id"),
+      idOrder = Seq("doc_id"),
       lineageName = s"compact($indexDir)",
-      knownRows = n - deadInRange,
-      fixedCentroids = Some(manifest.centroids))
+      knownRows = n - deadArr.length,
+      fixedCentroids = Some(manifest.centroids),
+      preAssigned = Some(IndexBuilder.PreAssignedSource(
+        IndexBuilder.loadGranuleWeights(indexDir))))
   }
 
   /** M7: exact reconstruction from the lossless docstore. */

@@ -78,13 +78,18 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Tokenizer.tokensCol(col("content")).as("toks"))
+      // r7: the distinct key is (doc_id, shingle) and every shingle row
+      // comes from ONE doc's array, so array_distinct within the row is
+      // exactly the global distinct() it replaces — the derivation is
+      // now ZERO-exchange end to end at any corpus size (the former
+      // .distinct() re-shuffled every (doc, shingle) row only to drop
+      // within-doc repeats)
       .select(col("doc_id"),
-        explode(when(size(col("toks")) >= ShingleN,
+        explode(array_distinct(when(size(col("toks")) >= ShingleN,
           expr("transform(sequence(0, size(toks) - " + ShingleN + "), " +
             "i -> concat_ws(' ', " +
             (0 until ShingleN).map(j => s"toks[i+$j]").mkString(", ") + "))"))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+          .otherwise(array().cast("array<string>")))).as("shingle"))
 
   // one shingle cache PER DOCS FRAME, shared by the minhash and exact
   // n-gram pipelines: each used to persist its own copy, and in a
@@ -538,49 +543,66 @@ object Dedup {
       .withColumn("n",
         sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x))))
 
-    // driver-local deterministic kmeans on a BOUNDED strided sample of
-    // the NORMALIZED vectors — the index build's capped-stride pattern
-    // (IndexBuilder fitStep = n/10k): the collect is provably ≤ ~2·cap
-    // rows at any corpus size, not a fixed fraction of it [VERDICT r2
-    // #2]. Centroids only steer the (provably exact) pruning geometry,
-    // never the output values, so the sample choice can't change results.
-    val nRows = e.count()
-    val stride = math.max(1L, nRows / EmbedSampleCap)
-    def collectNorm(df: DataFrame) = df
-      .select("vec_id", "e", "n")
-      .limit(2 * EmbedSampleCap) // hard bound even under adversarial ids
-      .collect()
-      .map { r0 =>
-        val v = r0.getSeq[Double](1).toArray
-        val nn = r0.getDouble(2)
-        (r0.getLong(0), v.map(_ / math.max(nn, 1e-300)))
-      }
-      .sortBy(_._1)
-    val strided = collectNorm(e.filter(pmod(col("vec_id"), lit(stride)) === 0))
-    // sparse / non-zero-based ids can leave the stride empty — fall back
-    // to the first rows by id instead of throwing [ADVICE r2]
-    val sample =
-      if (strided.nonEmpty) strided
-      else collectNorm(e.orderBy("vec_id"))
-    val centroids = graft.cluster.CoarseClusterer
-      .fitLocalDouble(sample, EmbedCells)
-
     // fused codegen normalize→argmin (no udf boxing on the pre-kernel
     // full-table pass; bit-identical geometry — see EmbedCellAssignExpr).
     // Cell assignment is threshold-independent (the threshold enters
     // only through radii/cell-pair pruning below), so the cached frame
     // is shared across thresholds; keyed on the embeddings frame like
     // the norm pass — no per-call cache leak.
-    val assigned = cachedFrame(embeddings, "embed-assigned")(e
-      .withColumn("cd",
-        graft.functions.EmbedCellAssignExpr.col(col("e"), col("n"), centroids))
-      .select(col("vec_id"), col("e"), col("n"),
-        col("cd").getItem(0).cast("int").as("cell"),
-        col("cd").getItem(1).as("dist")))
+    def assignedFrame(centroids: Array[Array[Double]]): DataFrame =
+      cachedFrame(embeddings, "embed-assigned")(e
+        .withColumn("cd",
+          graft.functions.EmbedCellAssignExpr.col(col("e"), col("n"), centroids))
+        .select(col("vec_id"), col("e"), col("n"),
+          col("cd").getItem(0).cast("int").as("cell"),
+          col("cd").getItem(1).as("dist")))
 
-    // per-cell radii -> candidate cell pairs (a <= b), exact superset
-    val radii = assigned.groupBy("cell").agg(max(col("dist")).as("rad"))
-      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // Threshold-independent pruning geometry (fitted centroids +
+    // per-cell radii), derived ONCE per embeddings identity through the
+    // bounded value cache (r7): the count job, the strided sample
+    // collect, the driver fit, and the radii collect are all
+    // deterministic functions of the frame — repeat calls used to pay
+    // 3 driver-sync jobs per call to recompute bit-identical values
+    // (the cached `embed-assigned` frame already froze these centroids
+    // in, so the recompute was provably redundant).
+    val (centroids, radii) = DerivedValueCache(embeddings, "embed-geometry") {
+      // driver-local deterministic kmeans on a BOUNDED strided sample of
+      // the NORMALIZED vectors — the index build's capped-stride pattern
+      // (IndexBuilder fitStep = n/10k): the collect is provably ≤ ~2·cap
+      // rows at any corpus size, not a fixed fraction of it [VERDICT r2
+      // #2]. Centroids only steer the (provably exact) pruning geometry,
+      // never the output values, so the sample choice can't change
+      // results.
+      val nRows = e.count()
+      val stride = math.max(1L, nRows / EmbedSampleCap)
+      def collectNorm(df: DataFrame) = df
+        .select("vec_id", "e", "n")
+        .limit(2 * EmbedSampleCap) // hard bound even under adversarial ids
+        .collect()
+        .map { r0 =>
+          val v = r0.getSeq[Double](1).toArray
+          val nn = r0.getDouble(2)
+          (r0.getLong(0), v.map(_ / math.max(nn, 1e-300)))
+        }
+        .sortBy(_._1)
+      val strided = collectNorm(e.filter(pmod(col("vec_id"), lit(stride)) === 0))
+      // sparse / non-zero-based ids can leave the stride empty — fall
+      // back to the first rows by id instead of throwing [ADVICE r2]
+      val sample =
+        if (strided.nonEmpty) strided
+        else collectNorm(e.orderBy("vec_id"))
+      val ctr = graft.cluster.CoarseClusterer
+        .fitLocalDouble(sample, EmbedCells)
+      // per-cell radii (exact max over the assigned frame)
+      val rad = assignedFrame(ctr)
+        .groupBy("cell").agg(max(col("dist")).as("rad"))
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      (ctr, rad)
+    }
+    val assigned = assignedFrame(centroids)
+
+    // candidate cell pairs (a <= b) from the cached geometry — exact
+    // superset; the threshold enters ONLY here (driver CPU over kc²)
     val cellDist = Array.tabulate(centroids.length, centroids.length) {
       (a, b) =>
         math.sqrt(graft.cluster.CoarseClusterer

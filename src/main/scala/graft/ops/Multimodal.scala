@@ -39,8 +39,14 @@ object Multimodal {
   /** Deterministic asset table: 2 assets per doc (image + audio);
     * payload = UTF-8 bytes of the content sha repeated 4x (128 bytes).
     */
-  def assets(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.sources.Corpus.docs(spark, sfDir)
+  def assets(spark: SparkSession, sfDir: String): DataFrame =
+    assetsFrom(graft.sources.Corpus.docs(spark, sfDir))
+
+  /** [[assets]] over a caller-supplied docs frame — SparkEntry passes
+    * its shared cached frame so the corpus derivation (dense-id keys
+    * job + per-row sha) is not re-executed per asset query (r7).
+    */
+  def assetsFrom(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("content_sha"))
     val img = base.select(
       (col("doc_id") * 2).as("asset_id"),

@@ -31,10 +31,12 @@ object SkewedAgg {
     * list content (array columns don't hash-compare portably).
     */
   def termPostingLists(docs: DataFrame, buckets: Int): DataFrame = {
-    val termDocs = docs
-      .select(col("doc_id"),
-        explode(Tokenizer.tokensCol(col("content"))).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // r7: the (term, doc_id) base is exactly the shared per-(term, doc)
+    // frequency frame the BM25/dictionary paths derive once per docs
+    // identity — reuse it instead of re-running tokenize+explode+groupBy
+    // per call (one tokenize pass serves one more operator).
+    val termDocs = graft.query.Bm25SqlPath.termFreqs(docs)
+      .select(col("term"), col("doc_id"))
 
     val phase1 = termDocs
       .withColumn("salt", pmod(hash(col("doc_id")), lit(buckets)))

@@ -240,11 +240,16 @@ object TextStats {
             s"i -> CAST(conv(substring(md5($gram), 1, 15), 16, 10) AS BIGINT)" +
             s" % ${Dedup.P})"))
           .otherwise(expr("CAST(array() AS array<bigint>)")))
+      // r7: dedup is per-ROW — the distinct key (doc_id, fingerprint)
+      // contains doc_id and every fingerprint row comes from one doc's
+      // array, so array_distinct inside the row is exactly the global
+      // distinct() it replaces, minus that full hash-aggregation
+      // exchange (zero-shuffle at any corpus size; only the output
+      // ordering exchange remains)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(hs, (x, i) -> array_min(slice(hs, i + 1, $FingerprintW)))"))
+        explode(array_distinct(expr(
+          s"transform(hs, (x, i) -> array_min(slice(hs, i + 1, $FingerprintW)))")))
           .as("fingerprint"))
-      .distinct()
       .orderBy("doc_id", "fingerprint")
   }
 

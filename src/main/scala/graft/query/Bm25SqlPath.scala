@@ -44,6 +44,31 @@ object Bm25SqlPath {
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
 
+  /** Per-term (df, cf) — the dictionary aggregate of [[termFreqs]],
+    * QUERY-INDEPENDENT like the tf frame itself, so it is derived once
+    * per frame identity and shared (r7): the scoring path used to
+    * re-aggregate the WHOLE tf frame per call just to learn df for the
+    * handful of query terms (one full-frame pass + shuffle per query
+    * batch), and q_dictionary re-ran the same aggregation per call.
+    * df for a query term == full-corpus df for that term, so filtering
+    * this frame is exactly equivalent to aggregating the term-filtered
+    * tf frame — same arithmetic, same values.
+    */
+  def termStats(docs: DataFrame): DataFrame =
+    graft.ops.DerivedFrameCache(docs, "bm25-termstats")(
+      termFreqs(docs)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))
+
+  /** Corpus (n, avgdl) — one cached 1-row frame per docs identity (r7):
+    * the per-call `docs.agg(count, avg)` job disappears from every
+    * scoring call. Long-sum/count arithmetic is exact, so the cached
+    * values are bit-identical to the per-call aggregation.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    graft.ops.DerivedFrameCache(docs, "bm25-stats")(
+      docs.agg(count(lit(1)).as("n"), avg(col("doc_len")).as("avgdl")))
+
   /** Top-k BM25 over `docs` (needs doc_id, content, doc_len) for a batch
     * of queries. Output: (query_id, rank, doc_id, score) ordered.
     */
@@ -57,14 +82,15 @@ object Bm25SqlPath {
     val qdf = QuerySet.triples(queries).toDF("query_id", "term", "qtf")
     val qterms = qdf.select("term").distinct()
 
-    val stats = docs.agg(
-      count(lit(1)).as("n"),
-      avg(col("doc_len")).as("avgdl"))
+    val stats = corpusStats(docs)
 
     val tf = termFreqs(docs).join(broadcast(qterms), "term")
 
-    // df per query term == full-corpus df for those terms.
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df per query term == full-corpus df for those terms: served from
+    // the shared per-term dictionary frame (r7) instead of re-aggregating
+    // the full tf frame on every call.
+    val dfT = termStats(docs).join(broadcast(qterms), "term")
+      .select(col("term"), col("df"))
 
     val contrib = tf
       .join(broadcast(dfT), "term")

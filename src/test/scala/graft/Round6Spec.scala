@@ -55,7 +55,8 @@ class Round6Spec extends SparkSpec {
 
   test("q_delete_compact keeps at most one temp snapshot across calls") {
     def qdcDirs(): Set[String] = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      // r7: snapshots live on the engine scratch base (tmpfs when roomy)
+      val tmp = new java.io.File(graft.build.Indexes.scratchBase)
       tmp.listFiles().toSeq.map(_.getName).filter(_.startsWith("graft-qdc"))
         .toSet
     }
