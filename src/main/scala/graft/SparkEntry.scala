@@ -172,7 +172,7 @@ object SparkEntry {
       // frame reads it lazily) but not the next successful call or the
       // JVM
       QdcSnapshots.swap(work)
-      s.read.parquet(s"$work/docstore")
+      graft.build.IndexSchemas.readDocstore(s, work)
         .select("doc_id", "content_sha")
         .orderBy("doc_id")
     }),

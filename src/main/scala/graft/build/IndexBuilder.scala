@@ -472,7 +472,7 @@ object IndexBuilder {
       }
     }
 
-    def docstore = spark.read.parquet(s"$indexDir/docstore")
+    def docstore = IndexSchemas.readDocstore(spark, indexDir)
 
     // ---- step 2: postings (blocks, ONE wide shuffle) -------------------
     // BM25 factorizes as idf × g(tf, dl): blocks store the idf-free
@@ -917,7 +917,7 @@ object IndexBuilder {
     val parts = spark.sessionState.conf.numShufflePartitions
     spark.conf.set(mpbKey,
       math.max(4L << 20, postingsBytes / math.max(1, parts)).toString)
-    try spark.read.parquet(s"$indexDir/postings")
+    try IndexSchemas.readPostings(spark, indexDir)
       .groupBy(col("term"))
       .agg(sum(col("count")).as("df"), sum(col("tf_sum")).as("cf"))
       .withColumn("idf", Bm25.idfCol(lit(n), col("df")))
@@ -952,7 +952,7 @@ object IndexBuilder {
       coarseGraphOpt: Option[(Array[Array[Int]],
         Array[Array[Array[Int]]])] = None): Unit = {
     val vocab = vocabOpt.getOrElse(
-      spark.read.parquet(s"$indexDir/dictionary").count())
+      IndexSchemas.readDictionary(spark, indexDir).count())
     val centroids = loadCentroids(indexDir)
     // one graph build, both regimes (exact kNN edges below ExactKnnMax,
     // layered incremental insert above — level 0 + upper layers), under
@@ -965,7 +965,7 @@ object IndexBuilder {
       graft.cluster.GraphCoarseSearch.buildGraph(centroids,
         metric = graft.cluster.Distance.byName(distanceName)))
     val blockStats: Map[Int, ClusterStat] = clusterStatsOpt.getOrElse {
-      spark.read.parquet(s"$indexDir/postings")
+      IndexSchemas.readPostings(spark, indexDir)
         .groupBy("cluster_id")
         .agg(
           sum(col("count")).as("postings"),
@@ -978,7 +978,7 @@ object IndexBuilder {
             build_millis = 0L)).toMap
     }
     val docCounts = docCountsOpt.getOrElse {
-      spark.read.parquet(s"$indexDir/docstore")
+      IndexSchemas.readDocstore(spark, indexDir)
         .groupBy("cluster_id").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     }

@@ -136,7 +136,7 @@ object Maintenance {
       else Long.MaxValue
 
     // exact refreshed stats (Long sums → deterministic)
-    val statsRow = spark.read.parquet(s"$indexDir/docstore")
+    val statsRow = graft.build.IndexSchemas.readDocstore(spark, indexDir)
       .agg(count(lit(1)), sum(col("doc_len"))).head()
     val n = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
@@ -149,7 +149,7 @@ object Maintenance {
     // order, so the consolidator streams one grouped run at a time —
     // retained heap is one (cluster, granule, term) run, never the whole
     // task's blocks [VERDICT r1: it.toSeq buffered everything]
-    val merged = spark.read.parquet(s"$indexDir/postings")
+    val merged = graft.build.IndexSchemas.readPostings(spark, indexDir)
       .as[PostingBlock]
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"),
@@ -260,7 +260,7 @@ object Maintenance {
     // the source index (placement balance only — survivors keep ~their
     // old granules; correctness never depends on the weights).
     val deadBc = spark.sparkContext.broadcast(deadArr)
-    val survivors = spark.read.parquet(s"$indexDir/docstore")
+    val survivors = graft.build.IndexSchemas.readDocstore(spark, indexDir)
       .withColumn("_nid",
         graft.functions.TombstoneShiftExpr.col(col("doc_id"), deadBc))
       .filter(col("_nid") >= 0)
@@ -281,7 +281,7 @@ object Maintenance {
 
   /** M7: exact reconstruction from the lossless docstore. */
   def fetchDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Array[Row] =
-    spark.read.parquet(s"$indexDir/docstore")
+    graft.build.IndexSchemas.readDocstore(spark, indexDir)
       .filter(col("doc_id").isin(docIds: _*))
       .orderBy("doc_id")
       .collect()
@@ -289,7 +289,7 @@ object Maintenance {
   private def liveIds(spark: SparkSession, indexDir: String) = {
     val dead = loadTombstones(indexDir)
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/docstore")
+    graft.build.IndexSchemas.readDocstore(spark, indexDir)
       .join(broadcast(dead.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
   }
 

@@ -253,23 +253,26 @@ object Dedup {
         .filter(col("r") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
         .select(col("doc_id"), col("shingle"), col("r"), col("sz")))
     // candidate pruning inside the prefix join, all exact (classic
-    // PPJoin filters; o = |a∩b|, J >= t ⟺ o >= t(|a|+|b|)/(1+t)):
+    // PPJoin filters):
     //  - length: J >= t needs min(|a|,|b|) >= t·max(|a|,|b|);
-    //  - positional: for the FIRST shared shingle (rarity order),
-    //    o <= min(|a|-ra, |b|-rb) + 1, so a qualifying pair passes the
-    //    test on at least that row — per-row filtering stays complete.
-    // Pair-level positional upper bound REPLACES the former distinct()
-    // (same groupBy shuffle, so it costs nothing) and prunes before the
-    // verify join touches shingle arrays [VERDICT r3 #2 — the 409k-pair
-    // exact verify was the bench's slowest stage]. Exactness: ranks are
-    // consistent with the global (df, shingle) order inside every doc,
-    // so any shared shingle beyond the o_p prefix-prefix matches must
-    // order AFTER the last matching row in BOTH docs (were it earlier,
-    // its ranks would fall inside both prefixes and it would BE a
-    // match) — hence overlap <= o_p + min(sz_a - max(r_a),
-    // sz_b - max(r_b)), and the rounded Jaccard is monotone in the
-    // overlap, so filtering the bound with the verify's own rounded
-    // predicate can never drop a qualifying pair.
+    //  - positional (per row): for a shared shingle at ranks (ra, rb),
+    //    overlap <= min(|a|-ra, |b|-rb) + 1 and J >= t ⟺
+    //    o >= t(|a|+|b|)/(1+t), so a qualifying pair passes the test on
+    //    at least its first shared shingle — per-row filtering stays
+    //    complete while pruning ~70% of join output rows (measured r7).
+    // The r3-r6 PAIR-level positional upper bound (a 5-function groupBy
+    // over the join output feeding a tighter pre-verify filter) was
+    // REMOVED in r7 on measurement: it pruned 0 of 124,979 candidate
+    // pairs at every tested corpus/threshold while costing the largest
+    // single chunk of the query's wall (0.46 s of 0.84 — the agg
+    // carried max/first buffers per pair), and the verify it guarded
+    // became cheap once the sorted shingle sets were materialized once
+    // and the intersection fused (r5). Dropping a pure pruning step
+    // cannot change results — verify recomputes the exact Jaccard for
+    // every pair either way; the dedup the groupBy provided is now a
+    // bare distinct(). If a future corpus makes the verify dominate
+    // (huge docs, verify >> candidate count), the bound's math above
+    // still holds and it can return as a measured trade.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -277,18 +280,8 @@ object Dedup {
             lit(t) * greatest(col("a.sz"), col("b.sz")) &&
           (least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) + 1) >=
             lit(t) / (1 + t) * (col("a.sz") + col("b.sz")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.r").as("ra"), col("a.sz").as("sza"),
-        col("b.r").as("rb"), col("b.sz").as("szb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("op"),
-        max(col("ra")).as("ram"), max(col("rb")).as("rbm"),
-        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
-      .withColumn("ub", col("op") +
-        least(col("sza") - col("ram"), col("szb") - col("rbm")))
-      .filter(round(col("ub").cast("double") /
-        (col("sza") + col("szb") - col("ub")), 4) >= t)
-      .select("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     verifyJaccardFused(cands, sh, threshold)
   }
 

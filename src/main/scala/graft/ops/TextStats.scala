@@ -185,15 +185,21 @@ object TextStats {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
-  /** Corpus token stats per language: docs, token totals, vocab. */
+  /** Corpus token stats per language: docs, token totals, vocab.
+    *
+    * r7: aggregates the SHARED per-(term, doc) frequency frame (which
+    * carries lang) instead of re-tokenizing and exploding the corpus —
+    * the countDistinct expand runs over one row per (term, doc) rather
+    * than one per token instance. tokens = Σ tf == the exploded count;
+    * docs/vocab distinct-counts are over identical key sets (a doc or
+    * term appears in the tf frame iff it appears in the exploded form).
+    */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs
-      .select(col("lang"), col("doc_id"), col("doc_len"),
-        explode(tokensC).as("term"))
+    graft.query.Bm25SqlPath.termFreqs(docs)
       .groupBy(col("lang"))
       .agg(
         countDistinct(col("doc_id")).as("docs"),
-        count(lit(1)).as("tokens"),
+        sum(col("tf")).as("tokens"),
         countDistinct(col("term")).as("vocab"))
       .orderBy("lang")
 

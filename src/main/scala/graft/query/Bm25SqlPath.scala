@@ -35,14 +35,24 @@ object Bm25SqlPath {
     * the corpus. Map-side partial aggregation absorbs stop-word keys
     * exactly as in the dictionary build.
     */
-  def termFreqs(docs: DataFrame): DataFrame =
+  def termFreqs(docs: DataFrame): DataFrame = {
+    // `lang` rides along when the source has it (r7): per-doc metadata
+    // through the existing (term, doc) aggregation is free (no extra
+    // exchange anywhere), and it lets per-language corpus stats
+    // (TextStats.tokenStats) aggregate the combined frame instead of
+    // re-running its own tokenize+explode pass over the corpus.
+    val hasLang = docs.columns.contains("lang")
+    val keep =
+      if (hasLang) Seq(col("doc_id"), col("doc_len").as("dl"), col("lang"))
+      else Seq(col("doc_id"), col("doc_len").as("dl"))
+    val aggs = first(col("dl")).as("dl") +:
+      (if (hasLang) Seq(first(col("lang")).as("lang")) else Nil)
     graft.ops.DerivedFrameCache(docs, "bm25-tf")(
       docs.select(
-          col("doc_id"),
-          col("doc_len").as("dl"),
-          explode(Tokenizer.tokensCol(col("content"))).as("term"))
+          keep :+ explode(Tokenizer.tokensCol(col("content"))).as("term"): _*)
         .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+        .agg(count(lit(1)).as("tf"), aggs: _*))
+  }
 
   /** Per-term (df, cf) — the dictionary aggregate of [[termFreqs]],
     * QUERY-INDEPENDENT like the tf frame itself, so it is derived once
@@ -79,27 +89,40 @@ object Bm25SqlPath {
       k: Int): DataFrame = {
     import spark.implicits._
 
-    val qdf = QuerySet.triples(queries).toDF("query_id", "term", "qtf")
-    val qterms = qdf.select("term").distinct()
-
-    val stats = corpusStats(docs)
-
-    val tf = termFreqs(docs).join(broadcast(qterms), "term")
-
-    // df per query term == full-corpus df for those terms: served from
-    // the shared per-term dictionary frame (r7) instead of re-aggregating
-    // the full tf frame on every call.
-    val dfT = termStats(docs).join(broadcast(qterms), "term")
+    // r7: ONE broadcast join against a literal (query_id, term, qtf, df)
+    // table instead of four separate broadcast subplans (query terms,
+    // per-term df, per-query qtf, corpus stats): df comes from the
+    // cached per-term dictionary frame and (n, avgdl) from the cached
+    // 1-row stats frame — both tiny driver reads of deterministic
+    // values (|query vocabulary| rows + 1 row), exactly what a search
+    // engine's query planner reads from its dictionary. Arithmetic is
+    // unchanged (same idf/contrib expressions, df/n/avgdl identical
+    // values — literals instead of joined columns), so scores and ranks
+    // are bit-identical. Terms absent from the corpus have no df row
+    // and drop out of the spec table — the old tf join dropped them the
+    // same way.
+    val terms = queries.flatMap(_._2).distinct
+    val dfMap = termStats(docs)
+      .filter(col("term").isin(terms: _*))
       .select(col("term"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = corpusStats(docs).head()
+    val n = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val qspec = QuerySet.triples(queries)
+      .flatMap { case (qid, t, qtf) =>
+        dfMap.get(t).map(df => (qid, t, qtf, df))
+      }
+      .toDF("query_id", "term", "qtf", "df")
+
+    val tf = termFreqs(docs)
 
     val contrib = tf
-      .join(broadcast(dfT), "term")
-      .join(broadcast(qdf), "term")
-      .crossJoin(broadcast(stats))
+      .join(broadcast(qspec), "term")
       .withColumn("c",
         col("qtf") * Bm25.contribCol(
-          Bm25.idfCol(col("n"), col("df")),
-          col("tf"), col("dl"), col("avgdl")))
+          Bm25.idfCol(lit(n), col("df")),
+          col("tf"), col("dl"), lit(avgdl)))
 
     val scores = contrib
       .groupBy(col("query_id"), col("doc_id"))

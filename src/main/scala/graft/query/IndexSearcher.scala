@@ -169,9 +169,10 @@ object IndexSearcher {
     val allTerms = parsed.flatMap(_.terms.map(_._1)).distinct
     val allClusters = parsed.flatMap(_.probed).toSet.toSeq.sorted
 
-    // dictionary idf for the query terms (predicate pushdown on term)
-    val idfMap: Map[String, Double] = spark.read
-      .parquet(s"$indexDir/dictionary")
+    // dictionary idf for the query terms (predicate pushdown on term;
+    // r7: explicit schema — no per-query footer-inference pass)
+    val idfMap: Map[String, Double] = graft.build.IndexSchemas
+      .readDictionary(spark, indexDir)
       .filter(col("term").isin(allTerms: _*))
       .select("term", "idf")
       .collect()
@@ -186,8 +187,7 @@ object IndexSearcher {
     // pushdown). One shuffle co-locates each cluster's blocks.
     // explicit projection → Parquet column pruning drops the positions
     // payload (the heaviest column) from the scan entirely
-    val blocks = spark.read
-      .parquet(s"$indexDir/postings")
+    val blocks = graft.build.IndexSchemas.readPostings(spark, indexDir)
       .filter(col("cluster_id").isin(allClusters: _*) &&
         col("term").isin(allTerms: _*))
       .select("term", "cluster_id", "first_doc", "last_doc", "count",

@@ -41,9 +41,9 @@ object PhraseSearch {
     val splits =
       if (manifest.granule_window > 0) IndexSearcher.SplitsPerCluster else 1
 
-    // projection: positions but no tfs/dls/block_max (column pruning)
-    val blocks = spark.read
-      .parquet(s"$indexDir/postings")
+    // projection: positions but no tfs/dls/block_max (column pruning;
+    // r7: explicit schema — no per-query footer-inference pass)
+    val blocks = graft.build.IndexSchemas.readPostings(spark, indexDir)
       .filter(col("term").isin(terms: _*))
       .select("term", "cluster_id", "first_doc", "count", "doc_gaps",
         "positions")

@@ -74,6 +74,15 @@ object R7Probe {
               f"wall=${now - st}%5.2f run=${jobRun.getOrDefault(je.jobId, 0L) / 1000.0}%6.2f " +
               f"tasks=${jobTasks.getOrDefault(je.jobId, 0)}")
           }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+              yield (a - b) / 1000.0).getOrElse(-1.0)
+            val nm = si.name.take(60).replaceAll("\\s+", " ")
+            System.err.println(f"[r7stage] job ${stageToJob.getOrDefault(si.stageId, -1)}%3d " +
+              f"stage ${si.stageId}%3d wall=$wall%5.2f tasks=${si.numTasks} $nm")
+          }
         })
     }
 
