@@ -534,11 +534,15 @@ object IndexBuilder {
       // GRAFT_POSTINGS_SHUFFLE=1 (or cfg.postingsExchange) opts back
       // into the r2 exchange path.
       val postingsExchange = cfg.postingsExchange
+      // compaction transform (r7): source = the OLD index's postings
+      val transformFrom = preAssigned.flatMap(_.transformFrom)
       val mpbKey = "spark.sql.files.maxPartitionBytes"
       val mpbPrev = spark.conf.get(mpbKey)
       if (!postingsExchange) {
         val totalBytes = org.apache.commons.io.FileUtils
-          .sizeOfDirectory(new java.io.File(s"$indexDir/docstore"))
+          .sizeOfDirectory(new java.io.File(transformFrom
+            .map { case (srcDir, _) => s"$srcDir/postings" }
+            .getOrElse(s"$indexDir/docstore")))
         // read-granularity factor: >1 packs finer partitions (more
         // waves, smoother straggler tail), at the cost of more/smaller
         // posting files
@@ -570,18 +574,28 @@ object IndexBuilder {
           }
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(staging))
-          val slice = docstore
-            .filter(col("cluster_id").isin(clusters: _*))
-          // exchange path only: re-pack THIS batch's granules over all
-          // slots (a batch covers a cluster subset; without re-packing
-          // half the slots idle)
-          val batchSlots =
-            if (postingsExchange) GranulePartitioner.slotMap(
-              weights.filter(g => clusters.contains(g._1._1)), parts)
-            else Map.empty[(Int, Long), Int]
-          val (blocks, acc, cacc) = encodeBlocks(spark, slice, avgdl,
-            segOffset, stats.granule_window, batchSlots,
-            exchange = postingsExchange)
+          val (blocks, acc, cacc) = transformFrom match {
+            case Some((srcDir, deadBc)) =>
+              // decode→shift→re-encode the source index's blocks — no
+              // content pass (see transformBlocks)
+              val oldSlice = IndexSchemas.readPostings(spark, srcDir)
+                .filter(col("cluster_id").isin(clusters: _*))
+              transformBlocks(spark, oldSlice, deadBc, avgdl, segOffset,
+                stats.granule_window)
+            case None =>
+              val slice = docstore
+                .filter(col("cluster_id").isin(clusters: _*))
+              // exchange path only: re-pack THIS batch's granules over
+              // all slots (a batch covers a cluster subset; without
+              // re-packing half the slots idle)
+              val batchSlots =
+                if (postingsExchange) GranulePartitioner.slotMap(
+                  weights.filter(g => clusters.contains(g._1._1)), parts)
+                else Map.empty[(Int, Long), Int]
+              encodeBlocks(spark, slice, avgdl,
+                segOffset, stats.granule_window, batchSlots,
+                exchange = postingsExchange)
+          }
           blocks.write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(staging)
@@ -661,9 +675,14 @@ object IndexBuilder {
   }
 
   /** Marker + placement hints for the compaction fast path — see the
-    * `preAssigned` parameter of [[buildFromSource]].
+    * `preAssigned` parameter of [[buildFromSource]]. `transformFrom`
+    * additionally routes the postings step through [[transformBlocks]]:
+    * (source index dir, broadcast sorted tombstone array).
     */
-  case class PreAssignedSource(granuleWeights: Seq[((Int, Long), Long)])
+  case class PreAssignedSource(
+      granuleWeights: Seq[((Int, Long), Long)],
+      transformFrom: Option[(String,
+        org.apache.spark.broadcast.Broadcast[Array[Long]])] = None)
 
   /** The preAssigned docstore step: the source rows already carry dense
     * doc_id, cluster_id, doc_len, content_sha — so the step is exactly
@@ -784,7 +803,7 @@ object IndexBuilder {
         .repartition(parts, col("_slot"))
         .drop("_slot")
       else selected
-    val blocks = routed
+    val postingRows = routed
       .as[(Long, Int, String, Int)]
       .mapPartitions { docRows =>
         // per-term position grouping with REUSED structures: the
@@ -840,6 +859,28 @@ object IndexBuilder {
           out.iterator
         }
       }
+    val blocks = encodePostingRows(spark, postingRows, avgdl, segmentOffset,
+      w, acc, cacc)
+    (blocks, acc, cacc)
+  }
+
+  /** Sorted-run block encode over a Dataset of [[Posting]] rows — the
+    * shared tail of [[encodeBlocks]] (tokenize source) and
+    * [[transformBlocks]] (decode-shift source): partition-local sort on
+    * (cluster, granule, term, doc) then streaming delta+varint encode
+    * with per-segment/per-cluster metrics via the accumulators.
+    */
+  private def encodePostingRows(
+      spark: SparkSession,
+      postings: org.apache.spark.sql.Dataset[Posting],
+      avgdl: Double,
+      segmentOffset: Int,
+      w: Long,
+      acc: CollectionAccumulator[SegmentMeta],
+      cacc: CollectionAccumulator[ClusterStat]):
+      org.apache.spark.sql.Dataset[PostingBlock] = {
+    import spark.implicits._
+    postings
       .sortWithinPartitions(
         col("cluster_id"), expr(s"doc_id div $w"), col("term"), col("doc_id"))
       .select("term", "cluster_id", "doc_id", "tf", "dl", "positions")
@@ -892,6 +933,51 @@ object IndexBuilder {
         }
         out.iterator
       }
+  }
+
+  /** Compaction's postings path (r7): instead of re-tokenizing the
+    * compacted corpus, DECODE the source index's existing blocks, drop
+    * tombstoned entries, shift surviving doc ids (monotone, so decoded
+    * ascending runs stay ascending and per-(cluster, term) doc ranges
+    * stay disjoint across tasks), regroup by the NEW granule window and
+    * re-encode under the refreshed avgdl — the same streaming
+    * decode→encode shape as segment merge, with zero exchanges. At
+    * scale this replaces a full content pass (tokenize over every
+    * surviving document) with a pass over the compressed postings,
+    * which are a fraction of the content bytes; correctness needs only
+    * the decoded (doc, tf, dl, positions) tuples, all of which the
+    * blocks store losslessly.
+    */
+  def transformBlocks(
+      spark: SparkSession,
+      oldBlocks: DataFrame,
+      deadBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      avgdl: Double,
+      segmentOffset: Int,
+      window: Long):
+      (org.apache.spark.sql.Dataset[PostingBlock],
+      CollectionAccumulator[SegmentMeta], CollectionAccumulator[ClusterStat]) = {
+    import spark.implicits._
+    require(window >= 1, s"granule window must be >= 1, got $window")
+    val acc: CollectionAccumulator[SegmentMeta] =
+      spark.sparkContext.collectionAccumulator[SegmentMeta]("segments")
+    val cacc: CollectionAccumulator[ClusterStat] =
+      spark.sparkContext.collectionAccumulator[ClusterStat]("cluster-stats")
+    val postingRows = oldBlocks
+      .as[PostingBlock]
+      .mapPartitions { it =>
+        val dead = deadBc.value
+        it.flatMap { b =>
+          PostingCodec.decodeEntries(b).iterator.flatMap { e =>
+            val nid = graft.functions.TombstoneShiftExpr.shift(dead, e.doc)
+            if (nid < 0) Iterator.empty
+            else Iterator.single(
+              Posting(b.term, b.cluster_id, nid, e.tf, e.dl, e.positions))
+          }
+        }
+      }
+    val blocks = encodePostingRows(spark, postingRows, avgdl, segmentOffset,
+      window, acc, cacc)
     (blocks, acc, cacc)
   }
 

@@ -276,7 +276,11 @@ object Maintenance {
       knownRows = n - deadArr.length,
       fixedCentroids = Some(manifest.centroids),
       preAssigned = Some(IndexBuilder.PreAssignedSource(
-        IndexBuilder.loadGranuleWeights(indexDir))))
+        IndexBuilder.loadGranuleWeights(indexDir),
+        // postings via decode→shift→re-encode of the source blocks —
+        // the docstore write above is then compaction's ONLY content
+        // pass (see IndexBuilder.transformBlocks)
+        transformFrom = Some((indexDir, deadBc)))))
   }
 
   /** M7: exact reconstruction from the lossless docstore. */

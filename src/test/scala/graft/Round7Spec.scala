@@ -68,6 +68,45 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("compact postings transform == decode-shift of source postings") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-r7-tidx").toString
+    val out = Files.createTempDirectory("graft-r7-tout").toString
+    try {
+      IndexBuilder.build(spark, sf0001, idx,
+        IndexBuilder.BuildConfig(resume = false))
+      val dead = Set(0L, 7L, 8L, 100L)
+      graft.maintain.Maintenance.compact(spark, idx, out,
+        deadOverride = Some(dead))
+      val deadArr = dead.toArray.sorted
+      def decoded(dir: String): Seq[(String, Int, Long, Int, String)] =
+        graft.build.IndexSchemas.readPostings(spark, dir)
+          .as[graft.model.PostingBlock].collect().toSeq
+          .flatMap { b =>
+            graft.codec.PostingCodec.decodeEntries(b).map(e =>
+              (b.term, b.cluster_id, e.doc, e.tf,
+                e.positions.mkString(",")))
+          }
+      // expectation: source entries, dead dropped, ids shifted
+      val expected = decoded(idx).flatMap { case (t, c, d, tf, pos) =>
+        val nid = graft.functions.TombstoneShiftExpr.shift(deadArr, d)
+        if (nid < 0) None else Some((t, c, nid, tf, pos))
+      }.sorted
+      assert(decoded(out).sorted == expected)
+      // and every block stays inside one NEW granule (the query-side
+      // split invariant)
+      val w = ManifestIO.read(s"$out/manifest.json").granule_window
+      graft.build.IndexSchemas.readPostings(spark, out)
+        .as[graft.model.PostingBlock].collect().foreach { b =>
+          assert(b.first_doc / w == b.last_doc / w,
+            s"block crosses granules: ${b.term} ${b.first_doc}..${b.last_doc}")
+        }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("buildWithQueries == build + separate query collect (model + queries)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
