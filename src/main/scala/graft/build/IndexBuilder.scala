@@ -705,24 +705,29 @@ object IndexBuilder {
     saveCentroids(indexDir, centroids)
     val parts = spark.sessionState.conf.numShufflePartitions
     val window = granuleWindow(knownRows, parts)
+    // weights carry over for later maintenance (exchange-path appends);
+    // this write itself needs no slot placement — see below
     saveGranuleWeights(indexDir, pa.granuleWeights)
-    val slotCol = GranulePartitioner.slotKeyCol(
-      GranulePartitioner.slotMap(pa.granuleWeights, parts), window, parts) _
     val obs = Observation()
     val metrics =
       count(lit(1)).as("n") +: sum(col("doc_len")).as("sum_dl") +:
         min(col("doc_id")).as("min_id") +:
         (0 until kc).map(c =>
           sum(when(col("cluster_id") === c, 1L).otherwise(0L)).as(s"c$c"))
-    // stored content_sha rides THROUGH the exchange (unlike the fresh
-    // build's recompute trade): compaction's exchange is not the
-    // scaling-metric stage, and the column is already materialized —
-    // shipping ~64 B/row costs less than n sha2 calls here
+    // ZERO-exchange write (r7): the source IS the old docstore — its
+    // files are cluster-partitioned and (cluster, doc)-sorted, the
+    // tombstone filter preserves order, and the id shift is monotone,
+    // so every read split is already a sorted run with doc ranges
+    // disjoint across tasks (whole files, or pieces of one sorted
+    // file). The local sort re-states the invariant for free on
+    // already-sorted runs, and partitionBy(cluster_id) writes ~the same
+    // file count the source had. Compaction therefore moves the content
+    // bytes exactly ONCE — old files → new files — with no exchange
+    // anywhere (the slot map stays saved for later appends). Stored
+    // content_sha rides through unchanged (it is already materialized —
+    // re-deriving it would cost n sha2 calls to save nothing).
     source
       .observe(obs, metrics.head, metrics.tail: _*)
-      .withColumn("_slot", slotCol(col("cluster_id"), col("doc_id")))
-      .repartition(parts, col("_slot"))
-      .drop("_slot")
       .sortWithinPartitions(col("cluster_id"), col("doc_id"))
       .select("doc_id", "repo", "path", "commit", "lang",
         "content", "cluster_id", "doc_len", "content_sha")

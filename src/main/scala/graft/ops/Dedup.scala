@@ -434,11 +434,15 @@ object Dedup {
     }
     // fingerprints ride along on the banded rows, so the Hamming verify
     // runs INLINE in the band join's codegen filter — within-bucket
-    // candidates are streamed, never materialized/deduped/re-joined
-    val banded = fp.select(col("doc_id"), col("fingerprint"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("fingerprint"),
-        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    // candidates are streamed, never materialized/deduped/re-joined.
+    // r7: materialized once per docs identity (like lsh-banded) — the
+    // self-join's two sides each re-ran the band explode per call, and
+    // the per-call plan carried the band-struct expression tree twice.
+    val banded = cachedFrame(docs, s"simhash-banded@$maxHamming")(
+      fp.select(col("doc_id"), col("fingerprint"),
+        explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("fingerprint"),
+          col("bk.band").as("band"), col("bk.bits").as("bits")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))
