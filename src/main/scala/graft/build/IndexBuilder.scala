@@ -308,7 +308,11 @@ object IndexBuilder {
           idStrategy =
             if (sys.env.getOrElse("GRAFT_DOCSTORE_SHUFFLE", "1") == "0")
               "exchange"
-            else sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"))
+            else sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"),
+          // lets small corpora take the one-job driver-sort id path
+          // (r7, Corpus.IdDriverSortMaxDocs); 0/over-bound/wrong hints
+          // fall back safely
+          rowHint = knownRows)
       }
       // row count for stride/kc sizing: metadata-derived when the
       // caller knows it (build() always does — parquet/Iceberg row

@@ -168,20 +168,95 @@ object Corpus {
   val IdBroadcastMaxDocs: Long =
     sys.env.getOrElse("GRAFT_ID_BROADCAST_MAX", "4194304").toLong
 
+  /** Driver-sort cutover inside the broadcast strategy (r7): when the
+    * caller KNOWS the row count (parquet metadata — build() always
+    * does) and it is at most this bound, the keys pass collapses to ONE
+    * collect job — no keys persist, no range-boundary sampling job, no
+    * per-partition rank protocol; the driver sorts the collected keys
+    * itself. Ranks are identical by construction: the collected rows
+    * carry Spark's own xxhash64 value, string keys sort in UTF8String
+    * binary order (exactly the distributed sort's ordering), non-string
+    * keys and over-bound/unknown counts fall back to the distributed
+    * path, and the collect is hard-limited at bound+1 rows so a wrong
+    * hint can never blow up the driver (one extra row ⇒ fall back).
+    */
+  val IdDriverSortMaxDocs: Long =
+    sys.env.getOrElse("GRAFT_ID_DRIVERSORT_MAX", "65536").toLong
+
   def withDenseIdCounted(
       df: DataFrame,
       sortCols: Seq[String],
       idCol: String,
       numPartitions: Int = 0,
       strategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"),
-      broadcastMaxDocs: Long = IdBroadcastMaxDocs): DenseId = {
+      broadcastMaxDocs: Long = IdBroadcastMaxDocs,
+      rowHint: Long = 0L): DenseId = {
     require(Set("auto", "broadcast", "exchange")(strategy),
       s"unknown id strategy: $strategy")
     if (strategy == "exchange") withDenseIdExchange(df, sortCols, idCol, numPartitions)
-    else withDenseIdBroadcast(df, sortCols, idCol, numPartitions,
-      forced = strategy == "broadcast", maxDocs = broadcastMaxDocs)
+    else withDenseIdDriverSort(df, sortCols, idCol, rowHint)
+      .orElse(withDenseIdBroadcast(df, sortCols, idCol, numPartitions,
+        forced = strategy == "broadcast", maxDocs = broadcastMaxDocs))
       .getOrElse(withDenseIdExchange(df, sortCols, idCol, numPartitions))
 
+  }
+
+  /** Driver-sort variant of the broadcast strategy — see
+    * [[IdDriverSortMaxDocs]]. None = no/over-bound hint, non-string
+    * keys, duplicate keys, or a hash collision — the caller falls
+    * through to the distributed strategies.
+    */
+  private def withDenseIdDriverSort(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      rowHint: Long,
+      maxDocs: Long = IdDriverSortMaxDocs): Option[DenseId] = {
+    if (rowHint <= 0 || rowHint > maxDocs) return None
+    val spark = df.sparkSession
+    val keyed = df.select(sortCols.map(col): _*)
+    if (!keyed.schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.StringType)) return None
+    // ONE job: keys + Spark's own xxhash64 (never re-implemented
+    // driver-side); bounded regardless of what the hint claimed
+    val rows = keyed
+      .withColumn("_h", xxhash64(sortCols.map(col): _*))
+      .limit((maxDocs + 1).toInt)
+      .collect()
+    if (rows.length > maxDocs) return None
+    if (rows.isEmpty) return Some(DenseId(
+      df.withColumn(idCol, lit(0L)).filter(lit(false)), 0L, () => ()))
+    val k = sortCols.length
+    import org.apache.spark.unsafe.types.UTF8String
+    val sorted = rows.map { r =>
+      (Array.tabulate(k)(i => UTF8String.fromString(r.getString(i))),
+        r.getLong(k))
+    }.sortWith { (a, b) =>
+      var i = 0
+      var c = 0
+      while (i < k && c == 0) { c = a._1(i).compareTo(b._1(i)); i += 1 }
+      c < 0
+    }
+    // duplicate keys ⇒ ranks undefined — exactness wins, distributed
+    // path re-checks via its own collision detection
+    var i = 1
+    while (i < sorted.length) {
+      if ((0 until k).forall(j =>
+          sorted(i)._1(j).compareTo(sorted(i - 1)._1(j)) == 0)) return None
+      i += 1
+    }
+    val map = new graft.functions.LongLongMap(sorted.length.toLong)
+    var id = 0L
+    var collision = false
+    sorted.foreach { case (_, h) =>
+      if (!map.put(h, id)) collision = true
+      id += 1
+    }
+    if (collision) return None
+    val bc = spark.sparkContext.broadcast(map)
+    val out = df.withColumn(idCol,
+      graft.functions.IdLookupExpr.col(xxhash64(sortCols.map(col): _*), bc))
+    Some(DenseId(out, sorted.length.toLong, () => (), idOfHash = Some(map)))
   }
 
   /** Broadcast strategy; None = over threshold / hash collision /
@@ -319,9 +394,10 @@ object Corpus {
       src: DataFrame,
       idOrder: Seq[String] = Seq("repo", "path", "commit"),
       idOffset: Long = 0L,
-      idStrategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto")): DenseId = {
+      idStrategy: String = sys.env.getOrElse("GRAFT_ID_STRATEGY", "auto"),
+      rowHint: Long = 0L): DenseId = {
     val dense = withDenseIdCounted(src, idOrder, "doc_id",
-      strategy = idStrategy)
+      strategy = idStrategy, rowHint = rowHint)
     val out = dense.df
       .withColumn("doc_id", col("doc_id") + idOffset)
       .withColumn("content_sha", sha2(col("content"), 256))

@@ -107,6 +107,30 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("driver-sort dense ids == distributed-exchange dense ids") {
+    import spark.implicits._
+    // adversarial keys: non-ASCII (incl. a supplementary character,
+    // where UTF-16 code-unit order and UTF8 binary order could diverge
+    // if the driver sort used plain String ordering), empties, shared
+    // prefixes
+    val keys = Seq("b", "a", "éclair", "zz", "😀emoji",
+      "é", "aa", "", "Z", "z", "中文", "a b")
+    val src = keys.zipWithIndex
+      .map { case (k, i) => (k, s"p$i", s"c$i") }
+      .toDF("repo", "path", "commit")
+      .repartition(4)
+    def ids(strategy: String, hint: Long) = graft.sources.Corpus
+      .withDenseIdCounted(src, Seq("repo", "path", "commit"), "id",
+        strategy = strategy, rowHint = hint)
+      .df.select(col("repo"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val viaDriver = ids("auto", keys.size.toLong) // driver-sort path
+    val viaExchange = ids("exchange", 0L)
+    assert(viaDriver.toSeq == viaExchange.toSeq)
+    // an over-bound or absent hint must not change results either
+    assert(ids("auto", 0L).toSeq == viaExchange.toSeq)
+  }
+
   test("buildWithQueries == build + separate query collect (model + queries)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
