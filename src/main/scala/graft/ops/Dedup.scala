@@ -106,6 +106,26 @@ object Dedup {
   def shinglesCached(docs: DataFrame): DataFrame =
     cachedFrame(docs, "shingles")(shingles(docs))
 
+  /** (vec_id, e double[], n = ‖e‖) per embeddings identity — codegen
+    * norm (no UDF boxing on the full-table pass): aggregate() folds
+    * left in element order — bit-identical doubles to the sequential
+    * loop it replaces [VERDICT r3 observation #5]. Through the BOUNDED
+    * frame cache (r5): the bare per-call .cache() leaked one
+    * MEMORY_AND_DISK entry per invocation (the r3 shingle leak, same
+    * shape [ADVICE r3]) and re-derived the norm pass on every call;
+    * SparkEntry's stable per-sfDir embeddings frame hits one shared
+    * entry, evicted with the rest of the dedup caches. Public since r7:
+    * the brute-force ANN baseline reads the SAME double-cast vectors
+    * (one derivation serves both operators); there must be exactly one
+    * builder for the tag or first-build-wins would change the schema.
+    */
+  def embedNorm(embeddings: DataFrame): DataFrame =
+    cachedFrame(embeddings, "embed-norm")(embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("n",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x))))
+
   /** MinHash signatures: (doc_id, i, mh) for i in 0..H-1.
     *
     * ONE wide aggregation with H min-columns instead of a crossJoin
@@ -526,19 +546,7 @@ object Dedup {
     import spark.implicits._
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
 
-    // codegen norm (no UDF boxing on the full-table pass): aggregate()
-    // folds left in element order — bit-identical doubles to the
-    // sequential loop it replaces [VERDICT r3 observation #5].
-    // Through the BOUNDED frame cache (r5): the bare per-call .cache()
-    // leaked one MEMORY_AND_DISK entry per invocation (the r3 shingle
-    // leak, same shape [ADVICE r3]) and re-derived the norm pass on
-    // every call; SparkEntry's stable per-sfDir embeddings frame now
-    // hits one shared entry, evicted with the rest of the dedup caches.
-    val e = cachedFrame(embeddings, "embed-norm")(embeddings
-      .select(col("vec_id").cast("long").as("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("n",
-        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x))))
+    val e = embedNorm(embeddings)
 
     // fused codegen normalize→argmin (no udf boxing on the pre-kernel
     // full-table pass; bit-identical geometry — see EmbedCellAssignExpr).

@@ -41,11 +41,20 @@ object Similarity {
       embeddings: DataFrame, // (vec_id, embedding)
       queryIds: Seq[Long],
       k: Int): DataFrame = {
-    val emb = embeddings.select(col("vec_id"),
-      asDouble(col("embedding")).as("e"))
-    val q = emb
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    import spark.implicits._
+    // r7: the double-cast vectors come from the shared embed-norm frame
+    // (one derivation serves this and the embedding dedup — identical
+    // transform expression), and the broadcast side is a LITERAL of the
+    // collected query vectors (deterministic per frame, served by the
+    // value cache): no per-call filter job to build the broadcast.
+    val emb = Dedup.embedNorm(embeddings).select(col("vec_id"), col("e"))
+    val qRows = DerivedValueCache(embeddings,
+      s"brute-q@${queryIds.mkString(",")}")(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq)
+    val q = qRows.toDF("query_id", "qe")
     val d = emb.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         round(l2Dist(col("qe"), col("e")), 4).as("dist"))
